@@ -1,0 +1,167 @@
+"""Op-semantics tests: cross-check against torch CPU reference behavior.
+
+The reference's hot ops (grid_sample warp, bilinear resize, pooling,
+pixel shuffle, MS-SSIM) are re-derived here from first principles; torch
+(CPU) provides the oracle for the exact semantics the reference relied on
+(modules.py:25-62, 107-120; pytorch_msssim).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn.functional as F
+
+from deepsvc_tpu.ops import (
+    avg_pool_2x2,
+    bilinear_up2,
+    max_pool,
+    ms_ssim,
+    pixel_shuffle,
+    pixel_unshuffle,
+    ssim,
+    warp,
+)
+from deepsvc_tpu.core import crop_to_size, pad_to_multiple, psnr
+
+
+def torch_grid_sample_warp(img_nchw, flow_nchw):
+    """The reference's torch_warp (modules.py:25-62), verbatim semantics."""
+    B, C, H, W = img_nchw.shape
+    xs = torch.linspace(-1.0, 1.0, W).view(1, 1, 1, W).expand(B, -1, H, -1)
+    ys = torch.linspace(-1.0, 1.0, H).view(1, 1, H, 1).expand(B, -1, -1, W)
+    grid = torch.cat([xs, ys], 1)
+    flow = torch.cat(
+        [
+            flow_nchw[:, 0:1] / ((W - 1.0) / 2.0),
+            flow_nchw[:, 1:2] / ((H - 1.0) / 2.0),
+        ],
+        1,
+    )
+    g = (grid + flow).permute(0, 2, 3, 1)
+    return F.grid_sample(img_nchw, g, mode="bilinear", padding_mode="border", align_corners=True)
+
+
+class TestWarp:
+    @pytest.mark.parametrize("shape", [(2, 3, 16, 24), (1, 5, 31, 17)])
+    def test_matches_grid_sample(self, rng, shape):
+        B, C, H, W = shape
+        img = rng.standard_normal(shape, dtype=np.float32)
+        flow = (rng.standard_normal((B, 2, H, W), dtype=np.float32) * 4.0).astype(np.float32)
+
+        ref = torch_grid_sample_warp(torch.from_numpy(img), torch.from_numpy(flow)).numpy()
+        got = warp(
+            jnp.asarray(img.transpose(0, 2, 3, 1)),
+            jnp.asarray(flow.transpose(0, 2, 3, 1)),
+        )
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=2e-5)
+
+    def test_zero_flow_is_identity(self, rng):
+        img = rng.standard_normal((1, 8, 8, 3), dtype=np.float32)
+        out = warp(jnp.asarray(img), jnp.zeros((1, 8, 8, 2), jnp.float32))
+        np.testing.assert_allclose(np.asarray(out), img, atol=1e-6)
+
+    def test_large_flow_clamps_to_border(self, rng):
+        img = rng.standard_normal((1, 4, 4, 1), dtype=np.float32)
+        flow = jnp.full((1, 4, 4, 2), 100.0)
+        out = warp(jnp.asarray(img), flow)
+        np.testing.assert_allclose(np.asarray(out)[0, :, :, 0], np.full((4, 4), img[0, -1, -1, 0]), atol=1e-6)
+
+
+class TestResize:
+    def test_bilinear_up2_matches_torch(self, rng):
+        x = rng.standard_normal((2, 3, 9, 13), dtype=np.float32)
+        ref = F.interpolate(torch.from_numpy(x), scale_factor=2, mode="bilinear", align_corners=False).numpy()
+        got = bilinear_up2(jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-5)
+
+    def test_avg_pool_2x2_matches_torch(self, rng):
+        x = rng.standard_normal((2, 3, 16, 12), dtype=np.float32)
+        ref = F.avg_pool2d(torch.from_numpy(x), 2, 2).numpy()
+        got = avg_pool_2x2(jnp.asarray(x.transpose(0, 2, 3, 1)))
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-6)
+
+    def test_max_pool_3x3_s2_p1_matches_torch(self, rng):
+        x = rng.standard_normal((2, 4, 17, 23), dtype=np.float32)
+        ref = F.max_pool2d(torch.from_numpy(x), 3, 2, 1).numpy()
+        got = max_pool(jnp.asarray(x.transpose(0, 2, 3, 1)), 3, 2, 1)
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-6)
+
+    def test_pixel_shuffle_matches_torch(self, rng):
+        x = rng.standard_normal((2, 16, 5, 7), dtype=np.float32)
+        ref = F.pixel_shuffle(torch.from_numpy(x), 4).numpy()
+        got = pixel_shuffle(jnp.asarray(x.transpose(0, 2, 3, 1)), 4)
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=1e-6)
+
+    def test_pixel_unshuffle_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 32), dtype=np.float32))
+        np.testing.assert_allclose(
+            np.asarray(pixel_unshuffle(pixel_shuffle(x, 4), 4)), np.asarray(x), atol=0
+        )
+
+
+class TestPadCrop:
+    def test_roundtrip(self, rng):
+        x = jnp.asarray(rng.standard_normal((1, 240, 416, 3), dtype=np.float32))
+        p = pad_to_multiple(x, 64)
+        assert p.shape == (1, 256, 448, 3)
+        back = crop_to_size(p, (240, 416))
+        np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=0)
+
+    def test_matches_torch_fpad_split(self, rng):
+        # reference pads (W-w)//2 on the left (utils.py:65-78)
+        x = rng.standard_normal((1, 3, 30, 50), dtype=np.float32)
+        tx = torch.from_numpy(x)
+        h, w = 30, 50
+        H = (h + 63) // 64 * 64
+        W = (w + 63) // 64 * 64
+        pl, pr = (W - w) // 2, W - w - (W - w) // 2
+        pt, pb = (H - h) // 2, H - h - (H - h) // 2
+        ref = F.pad(tx, (pl, pr, pt, pb)).numpy()
+        got = pad_to_multiple(jnp.asarray(x.transpose(0, 2, 3, 1)), 64)
+        np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=0)
+
+
+class TestMSSSIM:
+    def _pair(self, rng, shape):
+        a = rng.random(shape, dtype=np.float32)
+        b = np.clip(a + rng.standard_normal(shape).astype(np.float32) * 0.05, 0, 1)
+        return a, b
+
+    def test_ssim_matches_pytorch_msssim(self, rng):
+        pytest.importorskip("pytorch_msssim")
+        from pytorch_msssim import ssim as t_ssim
+
+        a, b = self._pair(rng, (2, 3, 64, 64))
+        ref = t_ssim(torch.from_numpy(a), torch.from_numpy(b), data_range=1.0).item()
+        got = float(ssim(jnp.asarray(a.transpose(0, 2, 3, 1)), jnp.asarray(b.transpose(0, 2, 3, 1))))
+        assert abs(got - ref) < 1e-4
+
+    def test_msssim_matches_pytorch_msssim(self, rng):
+        pytest.importorskip("pytorch_msssim")
+        from pytorch_msssim import ms_ssim as t_msssim
+
+        a, b = self._pair(rng, (1, 3, 192, 176))
+        ref = t_msssim(torch.from_numpy(a), torch.from_numpy(b), data_range=1.0).item()
+        got = float(ms_ssim(jnp.asarray(a.transpose(0, 2, 3, 1)), jnp.asarray(b.transpose(0, 2, 3, 1))))
+        assert abs(got - ref) < 1e-4
+
+    def test_identical_images_score_one(self, rng):
+        a = jnp.asarray(rng.random((1, 3, 176, 176), dtype=np.float32).transpose(0, 2, 3, 1))
+        assert float(ms_ssim(a, a)) > 0.9999
+        assert float(ssim(a, a)) > 0.9999
+
+    def test_msssim_monotone_in_noise(self, rng):
+        a = rng.random((1, 176, 176, 3), dtype=np.float32)
+        scores = []
+        for amp in (0.01, 0.05, 0.2):
+            b = np.clip(a + rng.standard_normal(a.shape).astype(np.float32) * amp, 0, 1)
+            scores.append(float(ms_ssim(jnp.asarray(a), jnp.asarray(b))))
+        assert scores[0] > scores[1] > scores[2]
+
+
+class TestPSNR:
+    def test_known_value(self):
+        a = jnp.zeros((1, 8, 8, 1))
+        b = jnp.full((1, 8, 8, 1), 0.1)
+        assert abs(float(psnr(a, b)) - 20.0) < 1e-3
