@@ -1,0 +1,180 @@
+"""Bitstream runtime: glue between jitted codec stages and the host coder.
+
+The reference interleaves net evaluation with per-slice GPU->CPU
+``.tolist()`` syncs inside compress/decompress
+(/root/reference/image_model.py:201-302).  Here the device work is
+batched into a handful of jitted stages and the host rANS coder consumes
+dense int32 arrays:
+
+  compress:   1 jitted call  -> (z_sym, y_sym, y_idx) -> host encodes all
+  decompress: 1 + num_slices jitted calls around the streaming decoder
+              (the channel-AR chain is serially dependent on decoded
+              bytes — this is the codec's intrinsic latency floor).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass, field
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coder import BufferedRansEncoder, RansDecoder, decode_with_indexes, encode_with_indexes
+from ..entropy import build_bottleneck_tables, build_gaussian_tables
+from ..entropy.cdf import CdfTable
+
+
+@dataclass
+class Bitstream:
+    """One coded latent: a y stream (all slices) + a z (hyper) stream."""
+
+    y_string: bytes
+    z_string: bytes
+    z_shape: tuple  # (h, w, C) of the hyper latent
+    y_shape: tuple  # (H, W) of the main latent
+
+    @property
+    def num_bytes(self) -> int:
+        return len(self.y_string) + len(self.z_string)
+
+    def tobytes(self) -> bytes:
+        """Length-prefixed container (z_shape/y_shape are coder metadata)."""
+        import struct
+
+        head = struct.pack(
+            "<IIHHHHH",
+            len(self.y_string),
+            len(self.z_string),
+            self.z_shape[0],
+            self.z_shape[1],
+            self.z_shape[2],
+            self.y_shape[0],
+            self.y_shape[1],
+        )
+        return head + self.y_string + self.z_string
+
+    @classmethod
+    def frombytes(cls, data: bytes) -> "Bitstream":
+        import struct
+
+        ny, nz, zh, zw, zc, yh, yw = struct.unpack("<IIHHHHH", data[:18])
+        y = data[18 : 18 + ny]
+        z = data[18 + ny : 18 + ny + nz]
+        return cls(y_string=y, z_string=z, z_shape=(zh, zw, zc), y_shape=(yh, yw))
+
+
+def _find_bottleneck_params(params: dict) -> dict:
+    """Locate the entropy_bottleneck param subtree (possibly nested)."""
+    if "entropy_bottleneck" in params:
+        return params["entropy_bottleneck"]
+    for v in params.values():
+        if isinstance(v, dict):
+            try:
+                return _find_bottleneck_params(v)
+            except KeyError:
+                continue
+    raise KeyError("entropy_bottleneck params not found")
+
+
+class CodecRuntime:
+    """Wraps a ChannelARBase module + trained variables for real coding."""
+
+    def __init__(self, module, variables):
+        self.module = module
+        self.variables = variables
+        self.y_table: CdfTable | None = None
+        self.z_table: CdfTable | None = None
+
+        mt = type(module)
+        self._encode = jax.jit(
+            lambda v, x, cond: module.apply(v, x, cond, method=mt.encode_tpu)
+        )
+        self._decode_hyper = jax.jit(
+            lambda v, z_sym, y_shape, cond: module.apply(
+                v, z_sym, y_shape, cond, method=mt.decode_hyper
+            ),
+            static_argnums=(2,),
+        )
+        self._slice_params = jax.jit(
+            lambda v, m, s, prev, cond, i: module.apply(
+                v, m, s, prev, i, cond, method=mt.decode_slice_params
+            ),
+            static_argnums=(5,),
+        )
+        self._slice_recon = jax.jit(
+            lambda v, mu, support, sym, i: module.apply(
+                v, mu, support, sym, i, method=mt.decode_slice_recon
+            ),
+            static_argnums=(4,),
+        )
+        self._synthesize = jax.jit(
+            lambda v, y_hat, cond: module.apply(v, y_hat, cond, method=mt.synthesize)
+        )
+        self.update()
+
+    # -- the reference's `update()`: (re)build integer CDF tables --------
+    def update(self, force: bool = True):
+        eb = _find_bottleneck_params(self.variables["params"])
+        self.z_table = build_bottleneck_tables({k: np.asarray(v) for k, v in eb.items()})
+        if self.y_table is None or force:
+            self.y_table = build_gaussian_tables()
+
+    # --------------------------------------------------------------------
+
+    def compress(self, x, cond=None) -> Bitstream:
+        out = self._encode(self.variables, x, cond)
+        z_sym = np.asarray(out["z_sym"])
+        y_sym = np.asarray(out["y_sym"])  # (S, B, H, W, d)
+        y_idx = np.asarray(out["y_idx"])
+
+        # hyper latent: one CDF row per channel
+        zc = z_sym.shape[-1]
+        z_rows = np.broadcast_to(np.arange(zc, dtype=np.int32), z_sym.shape)
+        z_string = encode_with_indexes(z_sym, z_rows, self.z_table)
+
+        enc = BufferedRansEncoder()
+        enc.encode_with_indexes(y_sym, y_idx, self.y_table)
+        y_string = enc.flush()
+
+        self._last_encode = out  # encoder-side reconstructions, reusable
+        return Bitstream(
+            y_string=y_string,
+            z_string=z_string,
+            z_shape=tuple(z_sym.shape[1:]),
+            y_shape=tuple(y_sym.shape[2:4]),
+        )
+
+    def decompress(self, bs: Bitstream, cond=None, batch: int = 1):
+        z_shape = (batch,) + tuple(bs.z_shape)
+        zc = z_shape[-1]
+        z_rows = np.broadcast_to(np.arange(zc, dtype=np.int32), z_shape)
+        z_sym = decode_with_indexes(bs.z_string, z_rows, self.z_table).reshape(z_shape)
+
+        means, scales = self._decode_hyper(
+            self.variables, jnp.asarray(z_sym), tuple(bs.y_shape), cond
+        )
+
+        dec = RansDecoder()
+        dec.set_stream(bs.y_string)
+
+        H, W = bs.y_shape
+        d = self.module.slice_depth
+        y_hat_prev = None
+        for i in range(self.module.num_slices):
+            mu, idx, support = self._slice_params(
+                self.variables, means, scales, y_hat_prev, cond, i
+            )
+            sym = dec.decode_stream(np.asarray(idx), self.y_table)
+            sym = jnp.asarray(sym.reshape(batch, H, W, d))
+            y_hat_slice = self._slice_recon(self.variables, mu, support, sym, i)
+            y_hat_prev = (
+                y_hat_slice
+                if y_hat_prev is None
+                else jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+            )
+
+        x_hat = self._synthesize(self.variables, y_hat_prev, cond)
+        return {"x_hat": x_hat, "y_hat": y_hat_prev}

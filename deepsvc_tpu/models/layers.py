@@ -1,0 +1,251 @@
+"""NN building blocks (flax.linen, NHWC).
+
+TPU-first re-design of the reference's block zoo
+(/root/reference/modules.py, image_model.py:22-38): parameters are f32,
+compute dtype is configurable (bf16 on TPU for the transform paths;
+entropy parameters stay f32).
+
+Note on fidelity: the reference calls ``nn.LeakyReLU(True)`` in several
+places (e.g. modules.py:422, semantic_layer.py:1204) which in torch sets
+negative_slope=1.0 — an identity function (an inplace-flag typo).  We
+implement the *intended* LeakyReLU(0.01) and document the deviation here.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Sequence
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ..ops import max_pool, pixel_shuffle
+
+Dtype = Any
+
+
+def leaky_relu(x, slope: float = 0.01):
+    return nn.leaky_relu(x, negative_slope=slope)
+
+
+class Conv(nn.Module):
+    """Conv2d with torch-style symmetric padding k//2 (compressai `conv`)."""
+
+    features: int
+    kernel: int = 5
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        p = self.kernel // 2
+        return nn.Conv(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding=[(p, p), (p, p)],
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class Deconv(nn.Module):
+    """Stride-2 transpose conv, output = input*stride (compressai `deconv`)."""
+
+    features: int
+    kernel: int = 5
+    stride: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.ConvTranspose(
+            self.features,
+            (self.kernel, self.kernel),
+            strides=(self.stride, self.stride),
+            padding="SAME",
+            dtype=self.dtype,
+            param_dtype=jnp.float32,
+        )(x)
+
+
+class SubpelConv(nn.Module):
+    """conv(k) + PixelShuffle(r) upsampler (compressai subpel_conv3x3 /
+    modules.py:250-254 subpel_conv1x1)."""
+
+    features: int
+    r: int = 2
+    kernel: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.features * self.r**2, self.kernel, 1, dtype=self.dtype)(x)
+        return pixel_shuffle(x, self.r)
+
+
+class ResBottleneckBlock(nn.Module):
+    """1x1 -> 3x3 -> 1x1 residual bottleneck, LeakyReLU(slope)
+    (modules.py:173-189)."""
+
+    channels: int
+    slope: float = 0.01
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = (lambda v: nn.relu(v)) if self.slope < 1e-4 else (lambda v: leaky_relu(v, self.slope))
+        out = Conv(self.channels, 1, 1, dtype=self.dtype)(x)
+        out = act(out)
+        out = Conv(self.channels, 3, 1, dtype=self.dtype)(out)
+        out = act(out)
+        out = Conv(self.channels, 1, 1, dtype=self.dtype)(out)
+        return x + out
+
+
+class ResBlock(nn.Module):
+    """Two 3x3 convs with residual (modules.py:192-214 ResBlock1)."""
+
+    channels: int
+    slope: float = 0.01
+    start_from_relu: bool = True
+    end_with_relu: bool = False
+    bottleneck: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        act = (lambda v: nn.relu(v)) if self.slope < 1e-4 else (lambda v: leaky_relu(v, self.slope))
+        mid = self.channels // 2 if self.bottleneck else self.channels
+        out = act(x) if self.start_from_relu else x
+        out = Conv(mid, 3, 1, dtype=self.dtype)(out)
+        out = act(out)
+        out = Conv(self.channels, 3, 1, dtype=self.dtype)(out)
+        if self.end_with_relu:
+            out = act(out)
+        return x + out
+
+
+class SELayer(nn.Module):
+    """Squeeze-excitation channel gate (modules.py:217-230)."""
+
+    channels: int
+    reduction: int = 16
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        y = x.mean(axis=(1, 2))  # (B, C)
+        y = nn.Dense(self.channels // self.reduction, use_bias=False,
+                     dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.relu(y)
+        y = nn.Dense(self.channels, use_bias=False,
+                     dtype=self.dtype, param_dtype=jnp.float32)(y)
+        y = nn.sigmoid(y)
+        return x * y[:, None, None, :]
+
+
+class ConvBlockResidual(nn.Module):
+    """conv-LReLU-conv-SE with 1x1 shortcut (modules.py:233-247)."""
+
+    features: int
+    se_layer: bool = True
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        h = Conv(self.features, 3, 1, dtype=self.dtype)(x)
+        h = leaky_relu(h, 0.01)
+        h = Conv(self.features, 3, 1, dtype=self.dtype)(h)
+        if self.se_layer:
+            h = SELayer(self.features, dtype=self.dtype)(h)
+        s = Conv(self.features, 1, 1, dtype=self.dtype)(x)
+        return s + h
+
+
+class UNet(nn.Module):
+    """3-scale UNet with 4x ResBlock context refine (modules.py:257-300)."""
+
+    out_ch: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x1 = ConvBlockResidual(32, dtype=self.dtype)(x)
+        x2 = max_pool(x1, 2, 2, 0)
+        x2 = ConvBlockResidual(64, dtype=self.dtype)(x2)
+        x3 = max_pool(x2, 2, 2, 0)
+        x3 = ConvBlockResidual(128, dtype=self.dtype)(x3)
+        for _ in range(4):
+            x3 = ResBlock(128, slope=0.0, dtype=self.dtype)(x3)
+
+        d3 = SubpelConv(64, 2, 1, dtype=self.dtype)(x3)
+        d3 = jnp.concatenate([x2, d3], axis=-1)
+        d3 = ConvBlockResidual(64, dtype=self.dtype)(d3)
+
+        d2 = SubpelConv(32, 2, 1, dtype=self.dtype)(d3)
+        d2 = jnp.concatenate([x1, d2], axis=-1)
+        d2 = ConvBlockResidual(self.out_ch, dtype=self.dtype)(d2)
+        return d2
+
+
+class RefineNet(nn.Module):
+    """x + refine(cat[x, ref]) through 3 bottleneck blocks
+    (modules.py:303-315); used for decoded MV and residual."""
+
+    hidden: int = 64
+    out_ch: int = 2
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, ref):
+        h = jnp.concatenate([x, ref], axis=-1)
+        h = Conv(self.hidden, 3, 1, dtype=self.dtype)(h)
+        for _ in range(3):
+            h = ResBottleneckBlock(self.hidden, dtype=self.dtype)(h)
+        h = Conv(self.out_ch, 3, 1, dtype=self.dtype)(h)
+        return x + h
+
+
+class Reconstruction(nn.Module):
+    """Texture layer: dual UNets + learned 3-way blending
+    (modules.py:318-358); returns (recurrent feature, recon)."""
+
+    channels: int = 64
+    out_ch: int = 3
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        feature = Conv(self.channels, 3, 1, dtype=self.dtype)(x)
+        f1 = UNet(self.channels, dtype=self.dtype)(feature)
+        f2 = UNet(self.channels, dtype=self.dtype)(feature)
+        r1 = Conv(self.out_ch, 3, 1, dtype=self.dtype)(f1)
+        r2 = Conv(self.out_ch, 3, 1, dtype=self.dtype)(f2)
+        r3 = Conv(self.out_ch, 3, 1, dtype=self.dtype)(jnp.concatenate([f1, f2], axis=-1))
+
+        def weight_head(f, name):
+            h = Conv(self.channels, 3, 1, dtype=self.dtype, name=f"{name}_conv1")(f)
+            h = ResBlock(self.channels, dtype=self.dtype, name=f"{name}_rb")(h)
+            h = Conv(3, 3, 1, dtype=self.dtype, name=f"{name}_conv2")(h)
+            return nn.sigmoid(h)
+
+        w1 = weight_head(f1, "weight1")
+        w2 = weight_head(f2, "weight2")
+        recon = w1 * r1 + w2 * r2 + (1.0 - w1 - w2) * r3
+        return feature, recon
+
+
+class FeatureExtraction(nn.Module):
+    """3->nf conv + 3 ResBlocks, residual (modules.py:361-374); residual
+    coding happens in this feature space."""
+
+    nf: int = 64
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        x = Conv(self.nf, 3, 1, dtype=self.dtype)(x)
+        h = x
+        for _ in range(3):
+            h = ResBlock(self.nf, slope=0.0, dtype=self.dtype)(h)
+        return x + h
