@@ -119,9 +119,24 @@ class ChannelARBase(nn.Module):
     cc_mean, cc_scale, cc_lrp (lists), entropy_bottleneck; and define
     num_slices / max_support_slices / latent channels M.
 
-    The optional ``cond`` tensor is concatenated into every slice's
-    support (used by the semantic feature codec, semantic_layer.py:1349).
+    The optional ``cond`` argument is the RAW conditioning object (e.g.
+    the previous decoded semantic feature).  Three overridable hooks give
+    conditional subclasses full control (semantic_layer.py:1324-1378
+    semantics):
+
+      _encoder_input(x, cond)  -> g_a input          (default: x)
+      _slice_cond(cond)        -> per-slice support  (default: None)
+      _synthesis(y_hat, cond)  -> x_hat              (default: g_s)
     """
+
+    def _encoder_input(self, x_in, cond):
+        return x_in
+
+    def _slice_cond(self, cond):
+        return None
+
+    def _synthesis(self, y_hat, cond):
+        return self.g_s(y_hat)
 
     def _hyper(self, y):
         """z, and (means, scales) synthesis from the STE-rounded z."""
@@ -146,9 +161,10 @@ class ChannelARBase(nn.Module):
 
     def forward(self, x_in, cond=None, *, rng=None, training=True):
         """Training/eval forward: returns x_hat, likelihoods, y."""
-        y = self.g_a(x_in)
+        y = self.g_a(self._encoder_input(x_in, cond))
         y_shape = y.shape[1:3]
         z = self._hyper(y)
+        slice_cond = self._slice_cond(cond)
 
         if training:
             rng_z, rng_y = jax.random.split(rng)
@@ -163,8 +179,8 @@ class ChannelARBase(nn.Module):
         y_hat_slices = []
         y_liks = []
         for i, y_slice in enumerate(y_slices):
-            mean_support = self._slice_support(latent_means, cond, y_hat_slices)
-            scale_support = self._slice_support(latent_scales, cond, y_hat_slices)
+            mean_support = self._slice_support(latent_means, slice_cond, y_hat_slices)
+            scale_support = self._slice_support(latent_scales, slice_cond, y_hat_slices)
             mu = self.cc_mean[i](mean_support).astype(jnp.float32)
             scale = self.cc_scale[i](scale_support).astype(jnp.float32)
 
@@ -182,7 +198,7 @@ class ChannelARBase(nn.Module):
             y_hat_slices.append(y_hat_slice)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        x_hat = self.g_s(y_hat)
+        x_hat = self._synthesis(y_hat, cond)
         return {
             "x_hat": x_hat,
             "likelihoods": {"y": jnp.concatenate(y_liks, axis=-1), "z": z_lik},
@@ -201,9 +217,10 @@ class ChannelARBase(nn.Module):
           z_sym (B,h,w,Cz), y_sym / y_idx (num_slices, B, H, W, d),
           plus f32 y_hat (decoder-side reconstruction) for reuse.
         """
-        y = self.g_a(x_in)
+        y = self.g_a(self._encoder_input(x_in, cond))
         y_shape = y.shape[1:3]
         z = self._hyper(y)
+        slice_cond = self._slice_cond(cond)
 
         medians = self.entropy_bottleneck.medians()
         z_sym = jnp.round(z - medians).astype(jnp.int32)
@@ -213,8 +230,8 @@ class ChannelARBase(nn.Module):
         y_slices = self._split(y.astype(jnp.float32))
         y_hat_slices, syms, idxs = [], [], []
         for i, y_slice in enumerate(y_slices):
-            mean_support = self._slice_support(latent_means, cond, y_hat_slices)
-            scale_support = self._slice_support(latent_scales, cond, y_hat_slices)
+            mean_support = self._slice_support(latent_means, slice_cond, y_hat_slices)
+            scale_support = self._slice_support(latent_scales, slice_cond, y_hat_slices)
             mu = self.cc_mean[i](mean_support).astype(jnp.float32)
             scale = self.cc_scale[i](scale_support).astype(jnp.float32)
 
@@ -234,7 +251,7 @@ class ChannelARBase(nn.Module):
             "y_sym": jnp.stack(syms),
             "y_idx": jnp.stack(idxs),
             "y_hat": y_hat,
-            "x_hat": self.g_s(y_hat),
+            "x_hat": self._synthesis(y_hat, cond),
         }
 
     def decode_hyper(self, z_sym, y_shape, cond=None):
@@ -246,9 +263,10 @@ class ChannelARBase(nn.Module):
     def decode_slice_params(self, latent_means, latent_scales, y_hat_prev, slice_index,
                             cond=None):
         """(mu, rANS row indexes) for one slice given decoded prefix."""
+        slice_cond = self._slice_cond(cond)
         y_hat_slices = self._split_prev(y_hat_prev, slice_index)
-        mean_support = self._slice_support(latent_means, cond, y_hat_slices)
-        scale_support = self._slice_support(latent_scales, cond, y_hat_slices)
+        mean_support = self._slice_support(latent_means, slice_cond, y_hat_slices)
+        scale_support = self._slice_support(latent_scales, slice_cond, y_hat_slices)
         mu = self.cc_mean[slice_index](mean_support).astype(jnp.float32)
         scale = self.cc_scale[slice_index](scale_support).astype(jnp.float32)
         return mu, build_indexes(scale), mean_support
@@ -261,7 +279,7 @@ class ChannelARBase(nn.Module):
         return y_hat_slice + 0.5 * jnp.tanh(lrp)
 
     def synthesize(self, y_hat, cond=None):
-        return self.g_s(y_hat)
+        return self._synthesis(y_hat, cond)
 
     def _split_prev(self, y_hat_prev, slice_index):
         if y_hat_prev is None or slice_index == 0:

@@ -1,0 +1,236 @@
+"""P-frame codec: structure + texture layers (NHWC, flax).
+
+TPU-native redesign of the reference's DeepSVC video model
+(/root/reference/video_model.py:13-191) and its motion-compensation /
+inter-layer-prediction head (modules.py:377-438):
+
+  flow -> MV codec -> MV refine -> warp -> inter-layer prediction (fused
+  with the semantic feature) -> feature-space residual codec -> residual
+  refine -> dual-UNet reconstruction -> (recurrent feature, RGB frame)
+
+The forward is staged into jittable methods so the bitstream runtime can
+interleave host entropy coding between device stages without retracing.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import pixel_shuffle, warp
+from .flow import MESpynet
+from .image_codec import ConditionalCodec
+from .layers import (
+    Conv,
+    FeatureExtraction,
+    Reconstruction,
+    RefineNet,
+    ResBlock,
+    leaky_relu,
+)
+
+Dtype = Any
+
+
+class InterLayerPrediction(nn.Module):
+    """Motion compensation fused with the semantic feature
+    (modules.py:377-438).
+
+    Warps the previous recurrent feature (or a ref-frame embedding) by the
+    decoded MV, converts the 256ch@H/4 semantic feature to 64ch@H via
+    PixelShuffle(4)+conv ("d2s"), embeds both, and emits a 32-ch context
+    plus the blended predicted frame.
+    """
+
+    hidden: int = 64
+    up_out: int = 32
+    out_ch: int = 3
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dt = self.dtype
+        self.in_conv = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt),
+                                      ResBlock(self.hidden, dtype=dt)])
+        self.in_conv1 = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt),
+                                       ResBlock(self.hidden, dtype=dt)])
+        self.d2s_conv = Conv(64, 3, 1, dtype=dt)
+        self.fea_convert = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt),
+                                          ResBlock(self.hidden, dtype=dt)])
+        self.fea_embd = nn.Sequential([
+            Conv(self.hidden, 3, 1, dtype=dt),
+            ResBlock(self.hidden, dtype=dt),
+            ResBlock(self.hidden, start_from_relu=False, dtype=dt),
+        ])
+        self.fea_ext = nn.Sequential([
+            Conv(self.hidden, 3, 1, dtype=dt),
+            ResBlock(self.hidden, dtype=dt),
+            ResBlock(self.hidden, dtype=dt),
+            Conv(self.up_out, 3, 1, dtype=dt),
+        ])
+        self.out_conv = Conv(self.out_ch, 3, 1, dtype=dt)
+        self.weight = nn.Sequential([
+            Conv(self.hidden, 3, 1, dtype=dt),
+            ResBlock(self.hidden, dtype=dt),
+            Conv(3, 3, 1, dtype=dt),
+            nn.sigmoid,
+        ])
+
+    def __call__(self, ref_frame, warped, mv, sm_fea, feature=None):
+        if feature is None:
+            fea = leaky_relu(self.in_conv(ref_frame), 0.01)
+        else:
+            fea = leaky_relu(self.in_conv1(feature), 0.01)
+        fea = warp(fea, mv)
+        curr = self.fea_convert(self.d2s_conv(pixel_shuffle(sm_fea, 4)))
+        fea3 = self.fea_embd(jnp.concatenate([fea, curr], axis=-1))
+        up_out = self.fea_ext(fea3)
+        w = self.weight(up_out)
+        out = w * warped + (1.0 - w) * self.out_conv(up_out)
+        return up_out, out
+
+
+class PFrameCodec(nn.Module):
+    """The DeepSVC P-frame model (video_model.py:13-25)."""
+
+    mv_latent: int = 64
+    res_latent: int = 96
+    feature_channels: int = 64
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        dt = self.dtype
+        nf = self.feature_channels
+        self.optic_flow = MESpynet(dtype=dt)
+        self.mv_codec = ConditionalCodec(in_ch=8, N=self.mv_latent, out_ch=2, dtype=dt)
+        self.res_codec = ConditionalCodec(
+            in_ch=nf + 6, N=self.res_latent, out_ch=nf, dtype=dt
+        )
+        self.mc = InterLayerPrediction(dtype=dt)
+        self.refine_mv = RefineNet(hidden=64, out_ch=2, dtype=dt)
+        self.refine_res = RefineNet(hidden=64, out_ch=nf, dtype=dt)
+        self.feature_extractor = FeatureExtraction(nf, dtype=dt)
+        self.enhance = Reconstruction(channels=64, out_ch=3, dtype=dt)
+
+    # ------------------------- jittable stages -------------------------
+
+    def motion_analysis(self, ref, curr):
+        """Flow estimation + MV-codec input (video_model.py:31-32)."""
+        mv = self.optic_flow(curr, ref)
+        return jnp.concatenate([curr, mv, ref], axis=-1)
+
+    def mc_stage(self, ref, recon_mv1, sm_fea, feature=None):
+        """MV refine -> warp -> inter-layer MC (video_model.py:34-45)."""
+        recon_mv = self.refine_mv(recon_mv1, ref)
+        warped = warp(ref, recon_mv)
+        warp_fea, predict_frame = self.mc(ref, warped, recon_mv, sm_fea, feature)
+        predict_fea = self.feature_extractor(predict_frame)
+        return {
+            "recon_mv": recon_mv,
+            "warped": warped,
+            "warp_fea": warp_fea,
+            "predict_frame": predict_frame,
+            "predict_fea": predict_fea,
+        }
+
+    def res_input(self, ref, curr, predict_frame, predict_fea):
+        """Feature-space residual codec input (video_model.py:48-51)."""
+        curr_fea = self.feature_extractor(curr)
+        res = curr_fea - predict_fea
+        return jnp.concatenate([ref, res, predict_frame], axis=-1)
+
+    def recon_stage(self, ref, recon_res1, predict_fea, warp_fea):
+        """Residual refine + texture enhancement (video_model.py:57-63)."""
+        recon_res = self.refine_res(recon_res1, ref)
+        recon_fea = predict_fea + recon_res
+        feature, recon = self.enhance(jnp.concatenate([recon_fea, warp_fea], axis=-1))
+        return feature, recon
+
+    # ----------------------------- forward -----------------------------
+
+    def __call__(self, ref, curr, sm_fea, feature=None, *, rng=None,
+                 training=True, mc_only=False):
+        """Full training/eval forward (video_model.py:27-94).
+
+        Returns a dict with recon, recurrent feature, warped/predicted
+        frames, and per-codec likelihoods (the trainer computes
+        distortion + bpp from these; MSE vs MS-SSIM is a loss choice,
+        not a model fork as in the reference's forward_msssim).
+        With mc_only=True this is the reference's truncated forward1.
+        """
+        if training:
+            rng_mv, rng_res = jax.random.split(rng)
+        else:
+            rng_mv = rng_res = None
+
+        mv_in = self.motion_analysis(ref, curr)
+        mv_out = self.mv_codec(mv_in, rng=rng_mv, training=training)
+        mc = self.mc_stage(ref, mv_out["x_hat"], sm_fea, feature)
+
+        result = {
+            "warped": mc["warped"],
+            "predict_frame": mc["predict_frame"],
+            "mv_likelihoods": mv_out["likelihoods"],
+        }
+        if mc_only:
+            return result
+
+        res_in = self.res_input(ref, curr, mc["predict_frame"], mc["predict_fea"])
+        res_out = self.res_codec(res_in, rng=rng_res, training=training)
+        feature_out, recon = self.recon_stage(
+            ref, res_out["x_hat"], mc["predict_fea"], mc["warp_fea"]
+        )
+        result.update(
+            recon=recon,
+            feature=feature_out,
+            res_likelihoods=res_out["likelihoods"],
+        )
+        return result
+
+    def aux_loss(self):
+        return self.mv_codec.aux_loss() + self.res_codec.aux_loss()
+
+    def mv_aux_loss(self):
+        return self.mv_codec.aux_loss()
+
+    def res_aux_loss(self):
+        return self.res_codec.aux_loss()
+
+
+def bpp_from_likelihoods(likelihoods: dict, num_pixels: int) -> jnp.ndarray:
+    """sum(-log2 p) / pixels over all latent likelihood tensors."""
+    total = 0.0
+    for lik in likelihoods.values():
+        total += jnp.log(lik).sum() / (-jnp.log(2.0) * num_pixels)
+    return total
+
+
+def init_pframe_variables(module: PFrameCodec, rng, H=64, W=64, batch=1):
+    """Initialize ALL params: both MC branches (feature None / present).
+
+    flax init only traces one code path; the first P-frame of a GOP uses
+    the ref-frame branch (in_conv) while later frames use the recurrent
+    branch (in_conv1), so we take the union of the two param trees.
+    Shared params are identical (same module paths -> same init rngs).
+    """
+    ref = jnp.zeros((batch, H, W, 3))
+    curr = jnp.zeros((batch, H, W, 3))
+    sm = jnp.zeros((batch, H // 4, W // 4, 256))
+    feat = jnp.zeros((batch, H, W, 64))
+    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
+    v_none = module.init({"params": rng}, ref, curr, sm, None, rng=k1)
+    v_feat = module.init({"params": rng}, ref, curr, sm, feat, rng=k2)
+    merged = _merge_trees(v_feat, v_none)
+    return merged
+
+
+def _merge_trees(a, b):
+    """Recursive union of two nested param dicts (a wins on conflicts)."""
+    if isinstance(a, dict) and isinstance(b, dict):
+        out = dict(b)
+        for k, v in a.items():
+            out[k] = _merge_trees(v, b[k]) if k in b else v
+        return out
+    return a

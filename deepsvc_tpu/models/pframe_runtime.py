@@ -1,0 +1,91 @@
+"""P-frame real-bitstream encode/decode (video_model.py:137-167 parity).
+
+Two latent bitstreams per frame (MV, residual); device stages are jitted
+once and interleaved with the host rANS coder.
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+
+from .codec_runtime import Bitstream, CodecRuntime
+from .image_codec import ConditionalCodec
+from .pframe import PFrameCodec
+
+
+class PFrameRuntime:
+    def __init__(self, module: PFrameCodec, variables):
+        self.module = module
+        self.variables = variables
+
+        mv_def = ConditionalCodec(in_ch=8, N=module.mv_latent, out_ch=2,
+                                  dtype=module.dtype)
+        res_def = ConditionalCodec(
+            in_ch=module.feature_channels + 6,
+            N=module.res_latent,
+            out_ch=module.feature_channels,
+            dtype=module.dtype,
+        )
+        self.mv_rt = CodecRuntime(mv_def, {"params": variables["params"]["mv_codec"]})
+        self.res_rt = CodecRuntime(res_def, {"params": variables["params"]["res_codec"]})
+
+        mt = type(module)
+        self._motion = jax.jit(
+            lambda v, ref, curr: module.apply(v, ref, curr, method=mt.motion_analysis)
+        )
+        self._mc = jax.jit(
+            lambda v, ref, mv1, sm, feat: module.apply(
+                v, ref, mv1, sm, feat, method=mt.mc_stage
+            )
+        )
+        self._res_in = jax.jit(
+            lambda v, ref, curr, pf, pfe: module.apply(
+                v, ref, curr, pf, pfe, method=mt.res_input
+            )
+        )
+        self._recon = jax.jit(
+            lambda v, ref, res1, pfe, wfe: module.apply(
+                v, ref, res1, pfe, wfe, method=mt.recon_stage
+            )
+        )
+
+    def update(self, force: bool = True):
+        self.mv_rt.update(force)
+        self.res_rt.update(force)
+
+    def compress(self, ref, curr, sm_fea, feature=None):
+        """Returns (mv_bitstream, res_bitstream).
+
+        Like the reference encoder (video_model.py:137-151), the decoder
+        state is reconstructed on the encoder side so downstream frames
+        reference the exact decoded tensors.
+        """
+        v = self.variables
+        mv_in = self._motion(v, ref, curr)
+        mv_bs = self.mv_rt.compress(mv_in)
+        recon_mv1 = self.mv_rt._last_encode["x_hat"]
+        mc = self._mc(v, ref, recon_mv1, sm_fea, feature)
+        res_in = self._res_in(v, ref, curr, mc["predict_frame"], mc["predict_fea"])
+        res_bs = self.res_rt.compress(res_in)
+        return mv_bs, res_bs
+
+    def decompress(self, ref, mv_bs: Bitstream, res_bs: Bitstream, sm_fea,
+                   feature=None):
+        """Returns dict(feature, recon, warped, predict_frame)
+        (video_model.py:153-167)."""
+        import jax.numpy as jnp
+
+        v = self.variables
+        recon_mv1 = self.mv_rt.decompress(mv_bs)["x_hat"]
+        mc = self._mc(v, ref, recon_mv1, sm_fea, feature)
+        recon_res1 = self.res_rt.decompress(res_bs)["x_hat"]
+        feature_out, recon = self._recon(
+            v, ref, recon_res1, mc["predict_fea"], mc["warp_fea"]
+        )
+        return {
+            "feature": feature_out,
+            "recon": jnp.clip(recon, 0.0, 1.0),
+            "warped": jnp.clip(mc["warped"], 0.0, 1.0),
+            "predict_frame": jnp.clip(mc["predict_frame"], 0.0, 1.0),
+        }

@@ -1,0 +1,238 @@
+"""Semantic layer: learned feature codec + student backbone (NHWC, flax).
+
+TPU-native redesign of the reference's semantic layer
+(/root/reference/semantic_layer.py:764-1519): ResNet-50 stage-1 features
+of P-frames are *coded* instead of computed — the student backbone's
+stem+layer1 are replaced by a conditional feature codec whose entropy
+model is conditioned on the previous decoded feature, followed by
+cross-frame support aggregation and the remaining ResNet stages.  This is
+the lowest bitstream layer: machines (video object detection) consume it
+without any pixel reconstruction.
+
+Support features are carried as an explicit (S, B, h, w, 256) tensor —
+the reference flattens support frames into the batch axis and slices with
+``supp[-N:]`` (semantic_layer.py:1066), which SURVEY §7 flags as a
+rebuild cleanup.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops import pixel_shuffle
+from .image_codec import ChannelARBase, ConvStack
+from .layers import Conv, ResBottleneckBlock, leaky_relu
+from .resnet import RESNET_STAGE_BLOCKS, ResStage
+
+Dtype = Any
+
+
+class SemanticFeatureCodec(ChannelARBase):
+    """Conditional codec for stage-1 features — reference "cFeatureCompress"
+    (semantic_layer.py:1188-1519).
+
+    Encodes the *image* conditioned on the previous decoded 256ch@H/4
+    feature ``fea``:
+      - g_a input  = cat[x, d2s(fea)]          (d2s: PixelShuffle(4)+conv)
+      - entropy    = every slice support gets fea_convert(fea) (64ch@/16)
+      - synthesis  = g_s(y_hat) -> 96ch@/4, then g_s1(cat[., fea_convert1(fea)])
+                     -> 256ch@/4 decoded feature
+    """
+
+    N: int = 72
+    num_slices: int = 8
+    max_support_slices: int = 4
+    dtype: Dtype = jnp.float32
+
+    @property
+    def slice_depth(self):
+        return self.N // self.num_slices
+
+    def setup(self):
+        if self.N % self.num_slices:
+            raise ValueError("slices must divide latent depth")
+        N, d, dt = self.N, self.slice_depth, self.dtype
+
+        self.d2s_conv = Conv(64, 3, 1, dtype=dt)
+        # g_a: 4x stride-2 (5x5) with ResBottleneck stages -> y at /16 of x
+        self.g_a = nn.Sequential([
+            Conv(128, 5, 2, dtype=dt), lambda v: leaky_relu(v),
+            ResBottleneckBlock(128, dtype=dt),
+            Conv(128, 5, 2, dtype=dt), lambda v: leaky_relu(v),
+            ResBottleneckBlock(128, dtype=dt),
+            Conv(96, 5, 2, dtype=dt), lambda v: leaky_relu(v),
+            ResBottleneckBlock(96, dtype=dt),
+            Conv(N, 5, 2, dtype=dt),
+        ])
+        # g_s: y -> 96ch at /4
+        self.g_s = nn.Sequential([
+            ConvStack([(96, 3, 2, "subpel")], dtype=dt), lambda v: leaky_relu(v),
+            ResBottleneckBlock(96, dtype=dt),
+            ConvStack([(96, 3, 2, "subpel")], dtype=dt), lambda v: leaky_relu(v),
+            ResBottleneckBlock(96, dtype=dt),
+            Conv(96, 3, 1, dtype=dt),
+        ])
+        # g_s1: fuse with converted feature -> 256ch decoded feature
+        self.g_s1 = nn.Sequential([
+            Conv(256, 3, 1, dtype=dt), lambda v: leaky_relu(v),
+            ResBottleneckBlock(256, dtype=dt),
+            ResBottleneckBlock(256, dtype=dt),
+        ])
+        self.fea_convert = ConvStack([(128, 5, 2, "conv"), (64, 5, 2, "conv")],
+                                     "leaky_relu", dt)
+        self.fea_convert1 = ConvStack([(128, 3, 1, "conv"), (64, 3, 1, "conv")],
+                                      "leaky_relu", dt)
+
+        self.h_a = ConvStack(
+            [(N, 3, 1, "conv"), (N, 3, 2, "conv"), (N, 3, 1, "conv"), (N, 3, 2, "conv")],
+            "leaky_relu", dt,
+        )
+        hs = [(N, 3, 2, "subpel"), (N, 3, 1, "conv"), (N, 3, 2, "subpel"), (N, 3, 1, "conv")]
+        self.h_mean_s = ConvStack(hs, "leaky_relu", dt)
+        self.h_scale_s = ConvStack(hs, "leaky_relu", dt)
+
+        cc = [(N, 3, 1, "conv"), (N, 3, 1, "conv"), (N, 3, 1, "conv"), (d, 3, 1, "conv")]
+        lrp = [(N, 3, 1, "conv"), (N, 3, 1, "conv"), (d, 3, 1, "conv")]
+        self.cc_mean = [ConvStack(cc, "leaky_relu", dt) for _ in range(self.num_slices)]
+        self.cc_scale = [ConvStack(cc, "leaky_relu", dt) for _ in range(self.num_slices)]
+        self.cc_lrp = [ConvStack(lrp, "leaky_relu", dt) for _ in range(self.num_slices)]
+
+        from ..entropy.bottleneck import EntropyBottleneck
+
+        self.entropy_bottleneck = EntropyBottleneck(channels=N)
+
+    # conditioning hooks (cond = previous decoded 256ch@/4 feature)
+    def _encoder_input(self, x_in, cond):
+        d2s = self.d2s_conv(pixel_shuffle(cond, 4))
+        return jnp.concatenate([x_in, d2s], axis=-1)
+
+    def _slice_cond(self, cond):
+        return self.fea_convert(cond)
+
+    def _synthesis(self, y_hat, cond):
+        x1 = self.g_s(y_hat)
+        return self.g_s1(jnp.concatenate([x1, self.fea_convert1(cond)], axis=-1))
+
+
+class SupportAggregation(nn.Module):
+    """Cross-frame feature aggregation — reference "RefineNet1"
+    (semantic_layer.py:1146-1185, temporal_roi_align.py:2311-2334).
+
+    Cosine-similarity weights between refined embeddings of the current
+    and support features, softmaxed over the support axis.
+
+    NOTE: the reference aggregates ``x`` itself weighted by the softmax
+    (sum over supports of x*w_s == x, since weights sum to 1) — i.e. its
+    output is exactly 2x with zero gradient into the refine convs, a dead
+    path.  ``legacy_double=True`` reproduces that literal behavior; the
+    default aggregates the *support* features, which is the intended
+    SELSA-style fusion the paper describes.
+    """
+
+    channels: int = 256
+    mean_sim: bool = True
+    legacy_double: bool = False
+    dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, supp):
+        """x: (B, h, w, C); supp: (S, B, h, w, C)."""
+        if self.legacy_double:
+            return 2.0 * x
+
+        refine = nn.Sequential([
+            Conv(self.channels, 3, 1, dtype=self.dtype),
+            lambda v: leaky_relu(v),
+            Conv(self.channels, 3, 1, dtype=self.dtype),
+        ])
+        S, B = supp.shape[0], supp.shape[1]
+
+        def l2n(v):
+            return v / jnp.linalg.norm(v, axis=-1, keepdims=True).clip(1e-12)
+
+        x1 = l2n(refine(x))  # (B,h,w,C)
+        sp = l2n(refine(supp.reshape((S * B,) + supp.shape[2:])).reshape(supp.shape))
+
+        sim = x1[None] * sp  # (S,B,h,w,C)
+        w = sim.mean(axis=-1, keepdims=True) if self.mean_sim else sim.sum(axis=-1, keepdims=True)
+        w = jax.nn.softmax(w, axis=0)
+        return x + (supp * w).sum(axis=0)
+
+
+class StudentBackbone(nn.Module):
+    """P-frame student — reference "OursResNetStudentP"
+    (semantic_layer.py:764-1118): ResNet-50 whose stem+layer1 are replaced
+    by the feature codec, then support aggregation + ReLU, then ResNet
+    stages 2-4.  Returns (stage outputs per out_indices, latent y,
+    likelihoods).
+    """
+
+    N: int = 72
+    depth: int = 50
+    strides: Sequence[int] = (1, 2, 2, 1)
+    dilations: Sequence[int] = (1, 1, 1, 2)
+    out_indices: Sequence[int] = (0, 3)
+    legacy_double: bool = False
+    dtype: Dtype = jnp.float32
+
+    def setup(self):
+        self.layer1 = SemanticFeatureCodec(N=self.N, dtype=self.dtype)
+        self.refine = SupportAggregation(legacy_double=self.legacy_double,
+                                         dtype=self.dtype)
+        blocks = RESNET_STAGE_BLOCKS[self.depth]
+        self.stages = [
+            ResStage(
+                planes=64 * 2**i,
+                num_blocks=blocks[i],
+                stride=self.strides[i],
+                dilation=self.dilations[i],
+                name=f"layer{i + 1}",
+            )
+            for i in range(1, 4)
+        ]
+
+    def __call__(self, x, supp, *, rng=None, training=True, mean_sim=True):
+        """x: normalized image (B,H,W,3); supp: (S,B,H/4,W/4,256)."""
+        out = self.layer1(x, supp[-1], rng=rng, training=training)
+        fea = self.refine(out["x_hat"], supp)
+        fea = nn.relu(fea)
+
+        outs = []
+        h = fea
+        if 0 in self.out_indices:
+            outs.append(fea)
+        for i, stage in enumerate(self.stages, start=1):
+            h = stage(h)
+            if i in self.out_indices:
+                outs.append(h)
+        return {
+            "outs": tuple(outs),
+            "y": out["y"],
+            "likelihoods": out["likelihoods"],
+            "fea": fea,
+            "x_hat": out["x_hat"],
+        }
+
+    def post_decode(self, x_hat, supp, mean_sim=True):
+        """Decoder-side tail: support aggregation + ReLU + stages 2-4.
+
+        Used by the real-bitstream path (the codec decode happens in
+        SemanticRuntime); returns (outs tuple, refined stage-1 feature).
+        """
+        fea = nn.relu(self.refine(x_hat, supp))
+        outs = []
+        h = fea
+        if 0 in self.out_indices:
+            outs.append(fea)
+        for i, stage in enumerate(self.stages, start=1):
+            h = stage(h)
+            if i in self.out_indices:
+                outs.append(h)
+        return tuple(outs), fea
+
+    def aux_loss(self):
+        return self.layer1.aux_loss()

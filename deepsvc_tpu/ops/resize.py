@@ -22,7 +22,9 @@ def avg_pool_2x2(x: jnp.ndarray) -> jnp.ndarray:
 
 def max_pool(x: jnp.ndarray, kernel: int, stride: int, padding: int) -> jnp.ndarray:
     """Max pooling with explicit symmetric padding (torch semantics)."""
-    neg = jnp.finfo(x.dtype).min if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
+    # -inf (not finfo.min) so XLA lowers to the differentiable
+    # reduce-window-max primitive
+    neg = -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min
     return lax.reduce_window(
         x,
         neg,

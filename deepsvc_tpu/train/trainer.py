@@ -1,0 +1,248 @@
+"""Staged P-frame trainer (TPU-native redesign of Learner.py).
+
+Stage schedule (/root/reference/Learner.py:44-48, 496-505):
+
+  band            steps              frames  loss
+  1 (warmup)      [0, 3e5)           2       lam*(mse + 0.1 warp + 0.15 mc) + bpp
+  2               [3e5, 4e5)         2       lam*mse + bpp
+  3               [4e5, 5e5)         4       lam*mse + bpp   (per-frame update)
+  4               [5e5, 6e5)         7       per-frame update
+  5 (cascade)     [6e5, ...)         5       single update over the unrolled
+                                             chain, frame t weighted by t:
+                                             sum(t * (lam*mse_t [+ mc_w*mc_t] + bpp_t)) / (f(f-1)/2)
+
+Bands 1-4 detach the recurrence (decoded frame / feature feed forward as
+constants, Learner.py:167,239-240); band 5 backpropagates through the
+whole chain (cascaded loss, Learner.py:299-369).  v2's mc_weight=0.01 in
+the cascade (Learner.py:1123,1415) is the ``cascade_mc_weight`` config.
+
+JAX mapping: one jitted update per (band kind, frame count) — the frame
+loop of bands 1-4 runs in Python around a per-frame jitted step (the
+recurrence is naturally detached across jit boundaries); the cascade is
+a single jitted graph over f frames.  All updates are pjit-able over a
+data-parallel mesh axis (deepsvc_tpu.parallel).
+"""
+
+from __future__ import annotations
+
+import functools
+from dataclasses import dataclass
+from typing import Any, Callable
+
+import flax.struct
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import TrainConfig
+from ..models.pframe import PFrameCodec, bpp_from_likelihoods, init_pframe_variables
+from ..ops import ms_ssim
+from .optim import make_optimizer
+
+
+class TrainState(flax.struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    opt_state: Any
+    rng: jax.Array
+
+    @classmethod
+    def create(cls, params, tx, rng):
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            opt_state=tx.init(params),
+            rng=rng,
+        )
+
+
+@dataclass
+class StageInfo:
+    band: int          # 1..5
+    frames: int        # unrolled frames per sample
+    warp_weight: float
+    mc_weight: float
+    cascade: bool
+
+
+def stage_info(step: int, cfg: TrainConfig) -> StageInfo:
+    s1, s2, s3, s4, _ = cfg.stage_steps
+    if step < s1:
+        return StageInfo(1, cfg.frames_per_stage[0], cfg.warp_weight, cfg.mc_weight, False)
+    if step < s2:
+        return StageInfo(2, cfg.frames_per_stage[0], 0.0, 0.0, False)
+    if step < s3:
+        return StageInfo(3, cfg.frames_per_stage[1], 0.0, 0.0, False)
+    if step < s4:
+        return StageInfo(4, cfg.frames_per_stage[2], 0.0, 0.0, False)
+    return StageInfo(5, cfg.frames_per_stage[3], 0.0, cfg.mc_weight_final, True)
+
+
+def _distortion(recon, target, warped, predicted, metric: str):
+    if metric == "msssim":
+        d = 1.0 - ms_ssim(recon, target)
+        warp_d = 1.0 - ms_ssim(jnp.clip(warped, 0, 1), target)
+        mc_d = 1.0 - ms_ssim(jnp.clip(predicted, 0, 1), target)
+    else:
+        d = jnp.mean((recon - target) ** 2)
+        warp_d = jnp.mean((warped - target) ** 2)
+        mc_d = jnp.mean((predicted - target) ** 2)
+    return d, warp_d, mc_d
+
+
+class PFrameTrainer:
+    """Owns the model, optimizer and the per-stage jitted update fns."""
+
+    def __init__(self, cfg: TrainConfig, model: PFrameCodec | None = None,
+                 mesh=None, init_shape=(64, 64)):
+        self.cfg = cfg
+        self.model = model or PFrameCodec()
+        rng = jax.random.PRNGKey(cfg.seed)
+        self.variables = init_pframe_variables(
+            self.model, rng, H=init_shape[0], W=init_shape[1]
+        )
+        self.tx = make_optimizer(
+            self.variables,
+            lr=cfg.lr,
+            aux_lr=cfg.aux_lr,
+            clip=cfg.clip_grad,
+            stage_steps=cfg.stage_steps,
+        )
+        self.state = TrainState.create(self.variables, self.tx, jax.random.PRNGKey(cfg.seed + 1))
+        self.mesh = mesh
+        self._frame_step_cache = {}
+        self._cascade_step_cache = {}
+
+    # ------------------------------ losses ------------------------------
+
+    def _frame_loss(self, params, ref, curr, sm, feature, rng, warp_w, mc_w):
+        out = self.model.apply(params, ref, curr, sm, feature, rng=rng, training=True)
+        num_pixels = curr.shape[0] * curr.shape[1] * curr.shape[2]
+        bpp_mv = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
+        bpp_res = bpp_from_likelihoods(out["res_likelihoods"], num_pixels)
+        d, warp_d, mc_d = _distortion(
+            out["recon"], curr, out["warped"], out["predict_frame"], self.cfg.metric
+        )
+        lam = float(self.cfg.lambda_rd)
+        if self.cfg.metric == "msssim":
+            lam = lam / 50.0  # l_MSSSIM = l_PSNR / 50 (Learner.py:2212)
+        distortion = d + warp_w * warp_d + mc_w * mc_d
+        aux = self.model.apply(params, method=self.model.aux_loss)
+        loss = lam * distortion + bpp_mv + bpp_res + aux
+        metrics = {
+            "loss": loss,
+            "distortion": d,
+            "warp_d": warp_d,
+            "mc_d": mc_d,
+            "bpp_mv": bpp_mv,
+            "bpp_res": bpp_res,
+            "bpp": bpp_mv + bpp_res,
+            "aux": aux,
+        }
+        return loss, (out, metrics)
+
+    # --------------------------- jitted steps ---------------------------
+
+    def _make_frame_step(self, warp_w, mc_w, with_feature):
+        @jax.jit
+        def step(state: TrainState, ref, curr, sm, feature):
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                return self._frame_loss(params, ref, curr, sm, feature, sub, warp_w, mc_w)
+
+            grads, (out, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            )
+            return new_state, out["recon"], out["feature"], metrics
+
+        return step
+
+    def _make_cascade_step(self, frames_n, mc_w):
+        @jax.jit
+        def step(state: TrainState, frames, sms):
+            """frames: (f, B, H, W, 3); sms: (f, B, H/4, W/4, 256)."""
+            rng, sub = jax.random.split(state.rng)
+
+            def loss_fn(params):
+                ref = frames[0]
+                feature = None
+                total = 0.0
+                num = frames_n * (frames_n - 1) // 2
+                num_pixels = frames.shape[1] * frames.shape[2] * frames.shape[3]
+                last_metrics = None
+                for idx in range(1, frames_n):
+                    sub_i = jax.random.fold_in(sub, idx)
+                    out = self.model.apply(
+                        params, ref, frames[idx], sms[idx], feature,
+                        rng=sub_i, training=True,
+                    )
+                    bpp = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
+                    bpp += bpp_from_likelihoods(out["res_likelihoods"], num_pixels)
+                    d, _, mc_d = _distortion(
+                        out["recon"], frames[idx], out["warped"],
+                        out["predict_frame"], self.cfg.metric,
+                    )
+                    lam = float(self.cfg.lambda_rd)
+                    if self.cfg.metric == "msssim":
+                        lam = lam / 50.0
+                    total += idx * (lam * (d + mc_w * mc_d) + bpp)
+                    last_metrics = {"distortion": d, "bpp": bpp}
+                    ref = out["recon"]          # NO detach: cascade backprop
+                    feature = out["feature"]
+                aux = self.model.apply(params, method=self.model.aux_loss)
+                loss = total / num + aux
+                last_metrics["loss"] = loss
+                last_metrics["aux"] = aux
+                return loss, last_metrics
+
+            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
+            params = optax.apply_updates(state.params, updates)
+            new_state = state.replace(
+                step=state.step + 1, params=params, opt_state=opt_state, rng=rng
+            )
+            return new_state, metrics
+
+        return step
+
+    # ------------------------------ driver ------------------------------
+
+    def train_batch(self, frames, sms):
+        """One reference-equivalent training iteration on a clip batch.
+
+        frames: (f, B, H, W, 3) in [0,1]; sms: (f, B, H/4, W/4, 256)
+        semantic features (zeros when training without the semantic layer,
+        matching HZHTrainer_1's configuration).
+        Returns metrics dict of the last processed frame.
+        """
+        info = stage_info(int(self.state.step), self.cfg)
+        f = min(info.frames, frames.shape[0])
+
+        if info.cascade:
+            key = f
+            if key not in self._cascade_step_cache:
+                self._cascade_step_cache[key] = self._make_cascade_step(f, info.mc_weight)
+            self.state, metrics = self._cascade_step_cache[key](
+                self.state, frames[:f], sms[:f]
+            )
+            return {k: float(v) for k, v in metrics.items()}
+
+        ref = frames[0]
+        feature = None
+        metrics = {}
+        for t in range(1, f):
+            key = (info.warp_weight, info.mc_weight, feature is not None)
+            if key not in self._frame_step_cache:
+                self._frame_step_cache[key] = self._make_frame_step(*key)
+            self.state, recon, feature_new, m = self._frame_step_cache[key](
+                self.state, ref, frames[t], sms[t], feature
+            )
+            # detached recurrence (concrete arrays across jit boundaries)
+            ref = recon
+            feature = feature_new
+            metrics = m
+        return {k: float(v) for k, v in metrics.items()}

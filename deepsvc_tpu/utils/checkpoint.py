@@ -1,0 +1,47 @@
+"""Checkpoint save/restore via orbax (reference: Learner.py:540-551,
+utils.py:160-187).
+
+A checkpoint stores {step, params, opt_state, rng} — the full TrainState
+— plus metadata; quantized CDF tables are NOT stored (they are rebuilt
+deterministically from params by CodecRuntime.update(), the reference's
+``update(force=True)`` after load, test_video.py:235-236).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any
+
+import jax
+import orbax.checkpoint as ocp
+
+
+class CheckpointManager:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self._mgr = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True
+            ),
+        )
+
+    def save(self, step: int, state: Any, metrics: dict | None = None, force=False):
+        self._mgr.save(
+            step,
+            args=ocp.args.StandardSave(state),
+            metrics=metrics,
+            force=force,
+        )
+        self._mgr.wait_until_finished()
+
+    def restore(self, state_template: Any, step: int | None = None):
+        step = step if step is not None else self._mgr.latest_step()
+        if step is None:
+            return None, None
+        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        return restored, step
+
+    def latest_step(self):
+        return self._mgr.latest_step()

@@ -1,0 +1,120 @@
+"""Training entry point (reference: main.py).
+
+Step 1 (structure+texture layers, coded key frames from the dataset):
+    python main.py --lambda-rd 640 --data-root /path/to/vimeo_septuplet
+Synthetic smoke run (no dataset needed):
+    python main.py --synthetic --steps 20 --tiny
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="deepsvc_tpu training")
+    p.add_argument("--seed", type=int, default=16)
+    p.add_argument("--lambda-rd", type=int, default=640,
+                   choices=[80, 160, 320, 640, 1280])
+    p.add_argument("--metric", type=str, default="mse", choices=["mse", "msssim"])
+    p.add_argument("--batch-size", type=int, default=2)
+    p.add_argument("--crop", type=int, default=256)
+    p.add_argument("--lr", type=float, default=1e-4)
+    p.add_argument("--aux-lr", type=float, default=1e-3)
+    p.add_argument("--data-root", type=str, default=None,
+                   help="vimeo_septuplet root (sep_trainlist.txt + sequences/)")
+    p.add_argument("--log-root", type=str, default="./output/train")
+    p.add_argument("--steps", type=int, default=None, help="stop after N steps")
+    p.add_argument("--synthetic", action="store_true",
+                   help="train on synthetic clips (smoke/e2e testing)")
+    p.add_argument("--tiny", action="store_true", help="tiny model config")
+    p.add_argument("--resume", action="store_true")
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    from deepsvc_tpu.core.config import TrainConfig
+    from deepsvc_tpu.data import make_clip_batch, make_semantic_features
+    from deepsvc_tpu.models import PFrameCodec
+    from deepsvc_tpu.train import PFrameTrainer
+    from deepsvc_tpu.utils import AverageMeter, setup_logger
+    from deepsvc_tpu.utils.checkpoint import CheckpointManager
+
+    cfg = TrainConfig(
+        seed=args.seed,
+        batch_size=args.batch_size,
+        lr=args.lr,
+        aux_lr=args.aux_lr,
+        lambda_rd=args.lambda_rd,
+        metric=args.metric,
+        crop=args.crop,
+    )
+    run_dir = os.path.join(args.log_root, f"{args.metric}_{args.lambda_rd}")
+    os.makedirs(run_dir, exist_ok=True)
+    logger = setup_logger("train", run_dir, tofile=True)
+    with open(os.path.join(run_dir, "setting.json"), "w") as f:
+        json.dump({**vars(args), "config": cfg.to_dict()}, f, indent=2, default=str)
+
+    model = PFrameCodec(mv_latent=16, res_latent=16) if args.tiny else PFrameCodec()
+    trainer = PFrameTrainer(cfg, model=model, init_shape=(args.crop, args.crop))
+    ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    if args.resume:
+        restored, step = ckpt.restore(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+            logger.info(f"resumed from step {step}")
+
+    meter = AverageMeter()
+    rng = np.random.default_rng(args.seed)
+
+    def batches():
+        if args.synthetic or args.data_root is None:
+            while True:
+                yield make_clip_batch(
+                    rng, frames=7, batch=args.batch_size,
+                    height=args.crop, width=args.crop,
+                )
+        else:
+            from deepsvc_tpu.data.vimeo import QP_BY_LAMBDA, VimeoClips, VimeoConfig
+
+            vc = VimeoConfig(
+                root=args.data_root,
+                model_type="PSNR" if args.metric == "mse" else "MSSSIM",
+                qp=QP_BY_LAMBDA.get(args.lambda_rd, 27),
+                crop=args.crop,
+                seed=args.seed,
+            )
+            clips = VimeoClips(vc)
+            while True:
+                yield from clips.batches(args.batch_size)
+
+    for batch in batches():
+        frames = jnp.asarray(batch)
+        sms = jnp.zeros(
+            (frames.shape[0], frames.shape[1], args.crop // 4, args.crop // 4, 256),
+            jnp.float32,
+        )
+        metrics = trainer.train_batch(frames, sms)
+        meter.update(metrics["loss"])
+        step = int(trainer.state.step)
+        if step % 100 == 0:
+            logger.info(f"step {step} loss {meter.avg:.4f} {metrics}")
+            meter.reset()
+        if step % 5000 == 0:
+            ckpt.save(step, trainer.state)
+        if args.steps is not None and step >= args.steps:
+            break
+
+    ckpt.save(int(trainer.state.step), trainer.state, force=True)
+    logger.info(f"done at step {int(trainer.state.step)}")
+
+
+if __name__ == "__main__":
+    main()

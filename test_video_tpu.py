@@ -1,0 +1,127 @@
+"""RD evaluation entry point (reference: test_video.py).
+
+Evaluates trained checkpoints over the standard test suites with real
+rANS bitstreams, GOP 12, 96 frames, writing the reference's JSON schema:
+
+    python test_video_tpu.py --dataset HEVC_D --data-root /path/TestSets \
+        --checkpoint-root ./checkpoints --metric mse
+
+Without checkpoints/datasets, --smoke runs a synthetic sequence through
+freshly-initialized models to validate the whole pipeline.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def get_args():
+    p = argparse.ArgumentParser(description="deepsvc_tpu RD evaluation")
+    p.add_argument("--dataset", type=str, default="HEVC_D")
+    p.add_argument("--data-root", type=str, default=None)
+    p.add_argument("--checkpoint-root", type=str, default="./checkpoints")
+    p.add_argument("--metric", type=str, default="mse", choices=["mse", "msssim"])
+    p.add_argument("--lambdas", type=int, nargs="+", default=[80, 160, 320, 640])
+    p.add_argument("--output", type=str, default="./output/testing")
+    p.add_argument("--frames", type=int, default=96)
+    p.add_argument("--no-semantic", action="store_true",
+                   help="skip the semantic layer (structure+texture only)")
+    p.add_argument("--smoke", action="store_true",
+                   help="synthetic sequence + fresh models (pipeline check)")
+    return p.parse_args()
+
+
+def build_runtimes(args, lam):
+    """Construct runtimes, loading checkpoints when available."""
+    import jax
+
+    from deepsvc_tpu.models import (
+        CodecRuntime,
+        ImageCodec,
+        PFrameCodec,
+        PFrameRuntime,
+        init_pframe_variables,
+    )
+
+    tiny = args.smoke
+    if tiny:
+        i_model = ImageCodec(N=32, M=40, num_slices=4, max_support_slices=2)
+        p_model = PFrameCodec(mv_latent=16, res_latent=16)
+    else:
+        i_model = ImageCodec()
+        p_model = PFrameCodec()
+
+    import jax.numpy as jnp
+
+    x = jnp.zeros((1, 64, 64, 3))
+    i_vars = i_model.init({"params": jax.random.PRNGKey(0)}, x, rng=jax.random.PRNGKey(1))
+    p_vars = init_pframe_variables(p_model, jax.random.PRNGKey(0), H=64, W=64)
+
+    ckpt_dir = os.path.join(args.checkpoint_root, f"{args.metric}_{lam}")
+    if os.path.isdir(ckpt_dir):
+        from deepsvc_tpu.utils.checkpoint import CheckpointManager
+
+        mgr = CheckpointManager(ckpt_dir)
+        restored, step = mgr.restore({"i": i_vars, "p": p_vars})
+        if restored is not None:
+            i_vars, p_vars = restored["i"], restored["p"]
+            print(f"loaded checkpoint step {step} from {ckpt_dir}")
+
+    return CodecRuntime(i_model, i_vars), PFrameRuntime(p_model, p_vars)
+
+
+def main():
+    args = get_args()
+    from deepsvc_tpu.eval import TEST_DATA, GOPEvaluator, aggregate, write_results
+
+    out_dir = os.path.join(args.output, args.metric.upper(), args.dataset)
+    os.makedirs(out_dir, exist_ok=True)
+
+    for lam in args.lambdas:
+        i_rt, p_rt = build_runtimes(args, lam)
+        sm_rt = None  # semantic runtime wired in when its checkpoints exist
+        ev = GOPEvaluator(i_rt, p_rt, sm_runtime=sm_rt, gop=12)
+
+        per_seq = {}
+        if args.smoke:
+            import numpy as np
+
+            rng = np.random.default_rng(0)
+
+            def synth_frames():
+                base = rng.random((72, 128, 3), dtype=np.float32)
+                for t in range(args.frames):
+                    shift = t % 8
+                    yield np.roll(base, shift, axis=1)
+
+            metrics = ev.evaluate_sequence(synth_frames(), (72, 128),
+                                           max_frames=min(args.frames, 13))
+            per_seq["synthetic"] = aggregate(metrics)
+        else:
+            from deepsvc_tpu.data.frames import sequence_dir, sequence_frames
+
+            info = TEST_DATA[args.dataset]
+            for seq in info.sequences:
+                d = sequence_dir(args.data_root, info.dir, seq,
+                                 info.org_resolution, info.x64_resolution)
+                h, w = (int(v) for v in info.x64_resolution.split("x")[::-1])
+                metrics = ev.evaluate_sequence(
+                    sequence_frames(d, args.frames), (h, w), args.frames
+                )
+                per_seq[seq] = aggregate(metrics)
+                print(seq, json.dumps(per_seq[seq])[:200])
+
+        out = write_results(
+            os.path.join(out_dir, f"{args.dataset}_{args.metric.upper()}_{lam}.json"),
+            f"{args.dataset}_{args.metric.upper()}_{lam}",
+            per_seq,
+        )
+        print(json.dumps(out)[:400])
+        if args.smoke:
+            break
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,142 @@
+"""P-frame codec tests: flow, forward, recurrence, bitstream round-trip."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsvc_tpu.models import (
+    MESpynet,
+    PFrameCodec,
+    PFrameRuntime,
+    bpp_from_likelihoods,
+    init_pframe_variables,
+)
+
+
+def tiny_pframe():
+    return PFrameCodec(mv_latent=16, res_latent=16, feature_channels=64)
+
+
+@pytest.fixture(scope="module")
+def pf_setup():
+    m = tiny_pframe()
+    variables = init_pframe_variables(m, jax.random.PRNGKey(0), H=64, W=64)
+    return m, variables
+
+
+def _inputs(rng, H=64, W=64):
+    ref = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32))
+    curr = jnp.clip(ref + 0.05 * rng.standard_normal((1, H, W, 3)).astype(np.float32), 0, 1)
+    sm = jnp.asarray(rng.standard_normal((1, H // 4, W // 4, 256)).astype(np.float32))
+    return ref, curr, sm
+
+
+class TestFlow:
+    def test_spynet_shapes(self, rng):
+        m = MESpynet()
+        im1 = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+        im2 = jnp.asarray(rng.random((2, 64, 64, 3), dtype=np.float32))
+        v = m.init(jax.random.PRNGKey(0), im1, im2)
+        flow = m.apply(v, im1, im2)
+        assert flow.shape == (2, 64, 64, 2)
+
+    def test_static_scene_small_flow(self, rng):
+        """Identical frames => refinements see zero difference at init."""
+        m = MESpynet()
+        im = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
+        v = m.init(jax.random.PRNGKey(0), im, im)
+        f_same = m.apply(v, im, im)
+        assert np.isfinite(np.asarray(f_same)).all()
+
+
+class TestPFrameForward:
+    def test_first_frame_no_feature(self, pf_setup, rng):
+        m, variables = pf_setup
+        ref, curr, sm = _inputs(rng)
+        out = m.apply(variables, ref, curr, sm, None, rng=jax.random.PRNGKey(1))
+        assert out["recon"].shape == (1, 64, 64, 3)
+        assert out["feature"].shape == (1, 64, 64, 64)
+        assert out["warped"].shape == (1, 64, 64, 3)
+        assert out["predict_frame"].shape == (1, 64, 64, 3)
+        bpp = bpp_from_likelihoods(out["mv_likelihoods"], 64 * 64) + bpp_from_likelihoods(
+            out["res_likelihoods"], 64 * 64
+        )
+        assert float(bpp) > 0
+
+    def test_recurrent_frame_with_feature(self, pf_setup, rng):
+        m, variables = pf_setup
+        ref, curr, sm = _inputs(rng)
+        out1 = m.apply(variables, ref, curr, sm, None, rng=jax.random.PRNGKey(1))
+        out2 = m.apply(
+            variables, out1["recon"], curr, sm, out1["feature"], rng=jax.random.PRNGKey(2)
+        )
+        assert out2["recon"].shape == (1, 64, 64, 3)
+        assert np.isfinite(np.asarray(out2["recon"])).all()
+
+    def test_mc_only_truncated(self, pf_setup, rng):
+        m, variables = pf_setup
+        ref, curr, sm = _inputs(rng)
+        out = m.apply(
+            variables, ref, curr, sm, None, rng=jax.random.PRNGKey(1), mc_only=True
+        )
+        assert "recon" not in out and "predict_frame" in out
+
+    def test_grads_flow_through_both_codecs(self, pf_setup, rng):
+        m, variables = pf_setup
+        ref, curr, sm = _inputs(rng)
+
+        def loss(v):
+            out = m.apply(v, ref, curr, sm, None, rng=jax.random.PRNGKey(1))
+            mse = jnp.mean((out["recon"] - curr) ** 2)
+            bpp = bpp_from_likelihoods(out["mv_likelihoods"], 64 * 64)
+            bpp += bpp_from_likelihoods(out["res_likelihoods"], 64 * 64)
+            return 640 * mse + bpp
+
+        g = jax.grad(loss)(variables)["params"]
+        for key in ("optic_flow", "mv_codec", "res_codec", "mc", "enhance"):
+            total = sum(
+                float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g[key])
+            )
+            assert total > 0, f"no gradient into {key}"
+
+    def test_aux_loss(self, pf_setup):
+        m, variables = pf_setup
+        aux = m.apply(variables, method=m.aux_loss)
+        assert float(aux) > 0
+
+
+class TestPFrameBitstream:
+    def test_compress_decompress_roundtrip(self, pf_setup, rng):
+        m, variables = pf_setup
+        rt = PFrameRuntime(m, variables)
+        ref, curr, sm = _inputs(rng)
+
+        mv_bs, res_bs = rt.compress(ref, curr, sm, None)
+        assert mv_bs.num_bytes > 0 and res_bs.num_bytes > 0
+        out = rt.decompress(ref, mv_bs, res_bs, sm, None)
+        assert out["recon"].shape == (1, 64, 64, 3)
+
+        # decoder-side latents must equal encoder-side latents bit-exactly
+        enc_mv = rt.mv_rt._last_encode["y_hat"]
+        enc_res = rt.res_rt._last_encode["y_hat"]
+        mv_dec = rt.mv_rt.decompress(mv_bs)
+        np.testing.assert_array_equal(np.asarray(mv_dec["y_hat"]), np.asarray(enc_mv))
+        res_dec = rt.res_rt.decompress(res_bs)
+        np.testing.assert_array_equal(np.asarray(res_dec["y_hat"]), np.asarray(enc_res))
+
+    def test_recurrent_chain_over_gop(self, pf_setup, rng):
+        """3-frame chain: decode(t) feeds encode(t+1) — like test_video.py."""
+        m, variables = pf_setup
+        rt = PFrameRuntime(m, variables)
+        ref, _, sm = _inputs(rng)
+        feature = None
+        for t in range(3):
+            curr = jnp.clip(
+                ref + 0.03 * rng.standard_normal(ref.shape).astype(np.float32), 0, 1
+            )
+            mv_bs, res_bs = rt.compress(ref, curr, sm, feature)
+            out = rt.decompress(ref, mv_bs, res_bs, sm, feature)
+            ref = out["recon"]
+            feature = out["feature"]
+            assert np.isfinite(np.asarray(ref)).all()

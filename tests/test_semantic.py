@@ -1,0 +1,124 @@
+"""Semantic layer tests: ResNet backbones, feature codec, aggregation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsvc_tpu.models import (
+    CodecRuntime,
+    ResNetTeacher,
+    SemanticFeatureCodec,
+    StudentBackbone,
+    SupportAggregation,
+)
+
+
+class TestResNetTeacher:
+    def test_dc5_feature_shapes(self, rng):
+        m = ResNetTeacher(out_indices=(0, 1, 2, 3))
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        outs = m.apply(variables, x)
+        # strides (1,2,2,1) + dilation 2 in stage 4 => /4, /8, /16, /16
+        assert outs[0].shape == (1, 16, 16, 256)
+        assert outs[1].shape == (1, 8, 8, 512)
+        assert outs[2].shape == (1, 4, 4, 1024)
+        assert outs[3].shape == (1, 4, 4, 2048)
+
+    def test_frozen_bn_stats_collection(self, rng):
+        m = ResNetTeacher()
+        x = jnp.zeros((1, 32, 32, 3))
+        variables = m.init(jax.random.PRNGKey(0), x)
+        assert "batch_stats" in variables
+
+
+class TestSupportAggregation:
+    def test_intended_aggregation(self, rng):
+        m = SupportAggregation()
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32))
+        supp = jnp.asarray(rng.standard_normal((2, 1, 8, 8, 256)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, supp)
+        out = m.apply(v, x, supp)
+        assert out.shape == x.shape
+        # output is x + convex combination of supports, not 2x
+        assert not np.allclose(np.asarray(out), 2 * np.asarray(x))
+
+    def test_legacy_mode_reproduces_reference_identity(self, rng):
+        m = SupportAggregation(legacy_double=True)
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32))
+        supp = jnp.asarray(rng.standard_normal((2, 1, 8, 8, 256)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, supp)
+        out = m.apply(v, x, supp)
+        np.testing.assert_allclose(np.asarray(out), 2 * np.asarray(x), atol=1e-6)
+
+    def test_grads_reach_refine(self, rng):
+        m = SupportAggregation()
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 256)).astype(np.float32))
+        supp = jnp.asarray(rng.standard_normal((2, 1, 8, 8, 256)).astype(np.float32))
+        v = m.init(jax.random.PRNGKey(0), x, supp)
+        g = jax.grad(lambda p: (m.apply(p, x, supp) ** 2).sum())(v)
+        total = sum(float(jnp.abs(l).sum()) for l in jax.tree_util.tree_leaves(g))
+        assert total > 0
+
+
+@pytest.fixture(scope="module")
+def sem_setup():
+    m = SemanticFeatureCodec(N=16, num_slices=4, max_support_slices=2)
+    x = jnp.zeros((1, 64, 64, 3))
+    fea = jnp.zeros((1, 16, 16, 256))
+    variables = m.init({"params": jax.random.PRNGKey(0)}, x, fea, rng=jax.random.PRNGKey(1))
+    return m, variables
+
+
+class TestSemanticFeatureCodec:
+    def test_forward_shapes(self, sem_setup, rng):
+        m, variables = sem_setup
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        fea = jnp.asarray(rng.standard_normal((1, 16, 16, 256)).astype(np.float32))
+        out = m.apply(variables, x, fea, rng=jax.random.PRNGKey(2))
+        assert out["x_hat"].shape == (1, 16, 16, 256)  # decoded feature @ /4
+        assert out["y"].shape == (1, 4, 4, 16)
+
+    def test_bitstream_roundtrip_conditioned(self, sem_setup, rng):
+        m, variables = sem_setup
+        rt = CodecRuntime(m, variables)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        fea = jnp.asarray(rng.standard_normal((1, 16, 16, 256)).astype(np.float32))
+        bs = rt.compress(x, cond=fea)
+        out = rt.decompress(bs, cond=fea)
+        np.testing.assert_array_equal(
+            np.asarray(out["y_hat"]), np.asarray(rt._last_encode["y_hat"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(out["x_hat"]), np.asarray(rt._last_encode["x_hat"])
+        )
+
+    def test_condition_changes_bits(self, sem_setup, rng):
+        """Different conditioning feature => different stream (it's used)."""
+        m, variables = sem_setup
+        rt = CodecRuntime(m, variables)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        fea1 = jnp.asarray(rng.standard_normal((1, 16, 16, 256)).astype(np.float32))
+        fea2 = jnp.asarray(rng.standard_normal((1, 16, 16, 256)).astype(np.float32))
+        b1 = rt.compress(x, cond=fea1)
+        b2 = rt.compress(x, cond=fea2)
+        assert b1.y_string != b2.y_string
+
+
+class TestStudentBackbone:
+    def test_forward(self, rng):
+        m = StudentBackbone(N=16)
+        # override the inner codec to a tiny config via module attrs is not
+        # possible post-hoc; N=16 makes layer1 small while stages 2-4 stay
+        # full ResNet-50 (heavy but tolerable at 64x64 on CPU)
+        x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
+        supp = jnp.asarray(rng.standard_normal((2, 1, 16, 16, 256)).astype(np.float32))
+        variables = m.init(
+            {"params": jax.random.PRNGKey(0)}, x, supp, rng=jax.random.PRNGKey(1)
+        )
+        out = m.apply(variables, x, supp, rng=jax.random.PRNGKey(2))
+        outs = out["outs"]
+        assert outs[0].shape == (1, 16, 16, 256)   # stage-1 (decoded+refined)
+        assert outs[1].shape == (1, 4, 4, 2048)    # stage-4
+        assert float(out["likelihoods"]["y"].min()) > 0
