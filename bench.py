@@ -25,6 +25,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 REFERENCE_FPS = 1.0
 H, W = 1088, 1920  # 1080p padded to x64 (test_video.py:294 protocol)
 
