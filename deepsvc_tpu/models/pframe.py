@@ -211,26 +211,31 @@ def init_pframe_variables(module: PFrameCodec, rng, H=64, W=64, batch=1):
     """Initialize ALL params: both MC branches (feature None / present).
 
     flax init only traces one code path; the first P-frame of a GOP uses
-    the ref-frame branch (in_conv) while later frames use the recurrent
-    branch (in_conv1), so we take the union of the two param trees.
-    Shared params are identical (same module paths -> same init rngs).
+    the ref-frame branch (mc.in_conv) while later frames use the
+    recurrent branch (mc.in_conv1).  One full init covers the recurrent
+    branch; the missing mc.in_conv subtree is grafted from a cheap
+    standalone InterLayerPrediction init (full double-init of the whole
+    codec is prohibitively slow on 1-CPU hosts).
     """
     ref = jnp.zeros((batch, H, W, 3))
     curr = jnp.zeros((batch, H, W, 3))
     sm = jnp.zeros((batch, H // 4, W // 4, 256))
     feat = jnp.zeros((batch, H, W, 64))
-    k1, k2 = jax.random.split(jax.random.PRNGKey(0))
-    v_none = module.init({"params": rng}, ref, curr, sm, None, rng=k1)
-    v_feat = module.init({"params": rng}, ref, curr, sm, feat, rng=k2)
-    merged = _merge_trees(v_feat, v_none)
+    v_feat = module.init({"params": rng}, ref, curr, sm, feat,
+                         rng=jax.random.PRNGKey(0))
+
+    mc = InterLayerPrediction(dtype=module.dtype)
+    mv = jnp.zeros((batch, H, W, 2))
+    v_mc = mc.init(
+        {"params": jax.random.fold_in(rng, 1)}, ref, ref, mv, sm, None
+    )
+    merged = jax.tree_util.tree_map(lambda x: x, v_feat)  # shallow copy
+    merged = dict(merged)
+    params = dict(merged["params"])
+    mc_params = dict(params["mc"])
+    mc_params["in_conv"] = v_mc["params"]["in_conv"]
+    params["mc"] = mc_params
+    merged["params"] = params
     return merged
 
 
-def _merge_trees(a, b):
-    """Recursive union of two nested param dicts (a wins on conflicts)."""
-    if isinstance(a, dict) and isinstance(b, dict):
-        out = dict(b)
-        for k, v in a.items():
-            out[k] = _merge_trees(v, b[k]) if k in b else v
-        return out
-    return a
