@@ -98,17 +98,19 @@ class CodecRuntime:
             ),
             static_argnums=(2,),
         )
-        self._slice_params = jax.jit(
-            lambda v, m, s, prev, cond, i: module.apply(
-                v, m, s, prev, i, cond, method=mt.decode_slice_params
-            ),
-            static_argnums=(5,),
+        self._decode_params = jax.jit(
+            lambda v, m, s, cond: module.apply(v, m, s, cond, method=mt.decode_params)
         )
-        self._slice_recon = jax.jit(
-            lambda v, mu, support, sym, i: module.apply(
-                v, mu, support, sym, i, method=mt.decode_slice_recon
+        self._decode_step = jax.jit(
+            lambda v, m, s, prev, mu, sym, cond, i: module.apply(
+                v, m, s, prev, mu, sym, i, cond, method=mt.decode_step
             ),
-            static_argnums=(4,),
+            static_argnums=(7,),
+        )
+        self._decode_finish = jax.jit(
+            lambda v, m, prev, mu, syms, cond: module.apply(
+                v, m, prev, mu, syms, cond, method=mt.decode_finish
+            )
         )
         self._synthesize = jax.jit(
             lambda v, y_hat, cond: module.apply(v, y_hat, cond, method=mt.synthesize)
@@ -126,9 +128,10 @@ class CodecRuntime:
 
     def compress(self, x, cond=None) -> Bitstream:
         out = self._encode(self.variables, x, cond)
-        z_sym = np.asarray(out["z_sym"])
-        y_sym = np.asarray(out["y_sym"])  # (S, B, H, W, d)
-        y_idx = np.asarray(out["y_idx"])
+        # one batched device->host pull (int16 syms / uint8 idx)
+        z_sym, y_sym, y_idx = jax.device_get(
+            (out["z_sym"], out["y_sym"], out["y_idx"])
+        )
 
         # hyper latent: one CDF row per channel
         zc = z_sym.shape[-1]
@@ -148,10 +151,20 @@ class CodecRuntime:
         )
 
     def decompress(self, bs: Bitstream, cond=None, batch: int = 1):
+        """Minimum-round-trip decode: max_support_slices + 1 host syncs.
+
+        Per sync: one uint8 index tensor D->H, one int16 symbol tensor
+        H->D; all f32 state (mu, decoded slices) stays on device between
+        the fused jitted steps.
+        """
         z_shape = (batch,) + tuple(bs.z_shape)
         zc = z_shape[-1]
         z_rows = np.broadcast_to(np.arange(zc, dtype=np.int32), z_shape)
-        z_sym = decode_with_indexes(bs.z_string, z_rows, self.z_table).reshape(z_shape)
+        z_sym = (
+            decode_with_indexes(bs.z_string, z_rows, self.z_table)
+            .reshape(z_shape)
+            .astype(np.int16)
+        )
 
         means, scales = self._decode_hyper(
             self.variables, jnp.asarray(z_sym), tuple(bs.y_shape), cond
@@ -162,19 +175,23 @@ class CodecRuntime:
 
         H, W = bs.y_shape
         d = self.module.slice_depth
+        ms = self.module.max_support_slices
+
+        mu, idx = self._decode_params(self.variables, means, scales, cond)
         y_hat_prev = None
-        for i in range(self.module.num_slices):
-            mu, idx, support = self._slice_params(
-                self.variables, means, scales, y_hat_prev, cond, i
-            )
+        for i in range(1, ms + 1):
             sym = dec.decode_stream(np.asarray(idx), self.y_table)
-            sym = jnp.asarray(sym.reshape(batch, H, W, d))
-            y_hat_slice = self._slice_recon(self.variables, mu, support, sym, i)
-            y_hat_prev = (
-                y_hat_slice
-                if y_hat_prev is None
-                else jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+            sym = jnp.asarray(sym.astype(np.int16).reshape(batch, H, W, -1))
+            y_hat_prev, mu, idx = self._decode_step(
+                self.variables, means, scales, y_hat_prev, mu, sym, cond, i
             )
 
-        x_hat = self._synthesize(self.variables, y_hat_prev, cond)
-        return {"x_hat": x_hat, "y_hat": y_hat_prev}
+        n_tail = self.module.num_slices - ms
+        sym_tail = dec.decode_stream(np.asarray(idx), self.y_table)
+        sym_tail = jnp.asarray(
+            sym_tail.astype(np.int16).reshape(n_tail, batch, H, W, d)
+        )
+        out = self._decode_finish(
+            self.variables, means, y_hat_prev, mu, sym_tail, cond
+        )
+        return out

@@ -223,7 +223,7 @@ class ChannelARBase(nn.Module):
         slice_cond = self._slice_cond(cond)
 
         medians = self.entropy_bottleneck.medians()
-        z_sym = jnp.round(z - medians).astype(jnp.int32)
+        z_sym = jnp.round(z - medians).astype(jnp.int16)
         z_hat = z_sym.astype(jnp.float32) + medians
         latent_means, latent_scales = self._latents_from_zhat(z_hat, y_shape)
 
@@ -235,8 +235,10 @@ class ChannelARBase(nn.Module):
             mu = self.cc_mean[i](mean_support).astype(jnp.float32)
             scale = self.cc_scale[i](scale_support).astype(jnp.float32)
 
-            sym = jnp.round(y_slice - mu).astype(jnp.int32)
-            idx = build_indexes(scale)
+            # int16/uint8 keep the device->host transfer small (the relay
+            # in dev environments is bandwidth-bound; also right on PCIe)
+            sym = jnp.round(y_slice - mu).astype(jnp.int16)
+            idx = build_indexes(scale).astype(jnp.uint8)
             y_hat_slice = sym.astype(jnp.float32) + mu
 
             lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
@@ -260,23 +262,84 @@ class ChannelARBase(nn.Module):
         z_hat = z_sym.astype(jnp.float32) + medians
         return self._latents_from_zhat(z_hat, tuple(y_shape))
 
-    def decode_slice_params(self, latent_means, latent_scales, y_hat_prev, slice_index,
-                            cond=None):
-        """(mu, rANS row indexes) for one slice given decoded prefix."""
-        slice_cond = self._slice_cond(cond)
-        y_hat_slices = self._split_prev(y_hat_prev, slice_index)
+    # Decode is latency-bound (serial channel-AR around the host coder),
+    # so round trips are minimized:
+    #   - recon of slice i-1 and params of slice i are ONE dispatch
+    #   - all tail slices (index >= max_support_slices) share the same
+    #     frozen support, so their params/recon are batched: only
+    #     max_support_slices + 1 host round trips per latent total.
+
+    def _params_for(self, latent_means, latent_scales, slice_cond, y_hat_slices, i):
         mean_support = self._slice_support(latent_means, slice_cond, y_hat_slices)
         scale_support = self._slice_support(latent_scales, slice_cond, y_hat_slices)
-        mu = self.cc_mean[slice_index](mean_support).astype(jnp.float32)
-        scale = self.cc_scale[slice_index](scale_support).astype(jnp.float32)
-        return mu, build_indexes(scale), mean_support
+        mu = self.cc_mean[i](mean_support).astype(jnp.float32)
+        scale = self.cc_scale[i](scale_support).astype(jnp.float32)
+        return mu, build_indexes(scale).astype(jnp.uint8)
 
-    def decode_slice_recon(self, mu, mean_support, sym, slice_index):
-        """y_hat slice from decoded symbols (+ latent residual prediction)."""
+    def _recon_slice(self, latent_means, slice_cond, y_hat_slices, mu, sym, i):
         y_hat_slice = sym.astype(jnp.float32) + mu
+        mean_support = self._slice_support(latent_means, slice_cond, y_hat_slices)
         lrp_support = jnp.concatenate([mean_support, y_hat_slice], axis=-1)
-        lrp = self.cc_lrp[slice_index](lrp_support).astype(jnp.float32)
+        lrp = self.cc_lrp[i](lrp_support).astype(jnp.float32)
         return y_hat_slice + 0.5 * jnp.tanh(lrp)
+
+    def decode_params(self, latent_means, latent_scales, cond=None):
+        """Params for slice 0 (decode entry point)."""
+        slice_cond = self._slice_cond(cond)
+        return self._params_for(latent_means, latent_scales, slice_cond, [], 0)
+
+    def decode_step(self, latent_means, latent_scales, y_hat_prev, mu_prev,
+                    sym_prev, slice_index, cond=None):
+        """Reconstruct slice ``slice_index - 1`` and emit next params.
+
+        Returns (y_hat_prev', mu_next, idx_next).  When slice_index hits
+        max_support_slices, mu_next/idx_next cover ALL remaining slices
+        (channel-concatenated, same coding order as the encoder).
+        """
+        slice_cond = self._slice_cond(cond)
+        prev_slices = self._split_prev(y_hat_prev, slice_index - 1)
+        y_hat_slice = self._recon_slice(
+            latent_means, slice_cond, prev_slices, mu_prev, sym_prev, slice_index - 1
+        )
+        y_hat_prev = (
+            y_hat_slice
+            if y_hat_prev is None
+            else jnp.concatenate([y_hat_prev, y_hat_slice], axis=-1)
+        )
+        slices = prev_slices + [y_hat_slice]
+
+        if slice_index == self.max_support_slices:
+            # batched tail: stacked slice-major to match the encoder's
+            # stream order (slice ms fully, then ms+1, ...)
+            mus, idxs = [], []
+            for i in range(slice_index, self.num_slices):
+                mu, idx = self._params_for(
+                    latent_means, latent_scales, slice_cond, slices, i
+                )
+                mus.append(mu)
+                idxs.append(idx)
+            return y_hat_prev, jnp.stack(mus), jnp.stack(idxs)
+        mu, idx = self._params_for(latent_means, latent_scales, slice_cond, slices,
+                                   slice_index)
+        return y_hat_prev, mu, idx
+
+    def decode_finish(self, latent_means, y_hat_prev, mu_tail, syms_tail, cond=None):
+        """Reconstruct all tail slices and synthesize x_hat.
+
+        syms_tail/mu_tail: (num_tail, B, H, W, d) stacked slice-major;
+        support is the frozen first max_support_slices.
+        """
+        slice_cond = self._slice_cond(cond)
+        support = self._split_prev(y_hat_prev, self.max_support_slices)
+        parts = [y_hat_prev]
+        for k, i in enumerate(range(self.max_support_slices, self.num_slices)):
+            parts.append(
+                self._recon_slice(
+                    latent_means, slice_cond, support, mu_tail[k], syms_tail[k], i
+                )
+            )
+        y_hat = jnp.concatenate(parts, axis=-1)
+        return {"x_hat": self._synthesis(y_hat, cond), "y_hat": y_hat}
 
     def synthesize(self, y_hat, cond=None):
         return self._synthesis(y_hat, cond)
