@@ -40,12 +40,14 @@ def main():
     rt = PFrameRuntime(model, variables)
 
     rng = np.random.default_rng(0)
-    ref = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32))
+    ref = jnp.asarray(rng.random((1, H, W, 3), dtype=np.float32)).astype(jnp.bfloat16)
     curr = jnp.clip(
         ref + 0.02 * jnp.asarray(rng.standard_normal((1, H, W, 3)).astype(np.float32)),
         0, 1,
-    )
-    sm = jnp.asarray(rng.standard_normal((1, H // 4, W // 4, 256)).astype(np.float32))
+    ).astype(jnp.bfloat16)
+    sm = jnp.asarray(
+        rng.standard_normal((1, H // 4, W // 4, 256)).astype(np.float32)
+    ).astype(jnp.bfloat16)
     feature = None
 
     # warmup (compile both branches of the chain)

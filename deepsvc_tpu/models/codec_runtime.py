@@ -82,7 +82,7 @@ def _find_bottleneck_params(params: dict) -> dict:
 class CodecRuntime:
     """Wraps a ChannelARBase module + trained variables for real coding."""
 
-    def __init__(self, module, variables):
+    def __init__(self, module, variables, encoder_xhat: bool = True):
         self.module = module
         self.variables = variables
         self.y_table: CdfTable | None = None
@@ -90,7 +90,9 @@ class CodecRuntime:
 
         mt = type(module)
         self._encode = jax.jit(
-            lambda v, x, cond: module.apply(v, x, cond, method=mt.encode_tpu)
+            lambda v, x, cond: module.apply(
+                v, x, cond, encoder_xhat, method=mt.encode_tpu
+            )
         )
         self._decode_hyper = jax.jit(
             lambda v, z_sym, y_shape, cond: module.apply(
@@ -127,11 +129,15 @@ class CodecRuntime:
     # --------------------------------------------------------------------
 
     def compress(self, x, cond=None) -> Bitstream:
+        import time as _time
+
+        t0 = _time.perf_counter()
         out = self._encode(self.variables, x, cond)
         # one batched device->host pull (int16 syms / uint8 idx)
         z_sym, y_sym, y_idx = jax.device_get(
             (out["z_sym"], out["y_sym"], out["y_idx"])
         )
+        t1 = _time.perf_counter()
 
         # hyper latent: one CDF row per channel
         zc = z_sym.shape[-1]
@@ -141,6 +147,10 @@ class CodecRuntime:
         enc = BufferedRansEncoder()
         enc.encode_with_indexes(y_sym, y_idx, self.y_table)
         y_string = enc.flush()
+        self.timings = {
+            "enc_device+d2h": t1 - t0,
+            "enc_host_rans": _time.perf_counter() - t1,
+        }
 
         self._last_encode = out  # encoder-side reconstructions, reusable
         return Bitstream(
@@ -177,21 +187,35 @@ class CodecRuntime:
         d = self.module.slice_depth
         ms = self.module.max_support_slices
 
+        import time as _time
+
+        times = {"steps": []}
         mu, idx = self._decode_params(self.variables, means, scales, cond)
         y_hat_prev = None
         for i in range(1, ms + 1):
-            sym = dec.decode_stream(np.asarray(idx), self.y_table)
+            t0 = _time.perf_counter()
+            idx_h = np.asarray(idx)
+            t1 = _time.perf_counter()
+            sym = dec.decode_stream(idx_h, self.y_table)
+            t2 = _time.perf_counter()
             sym = jnp.asarray(sym.astype(np.int16).reshape(batch, H, W, -1))
             y_hat_prev, mu, idx = self._decode_step(
                 self.variables, means, scales, y_hat_prev, mu, sym, cond, i
             )
+            times["steps"].append((t1 - t0, t2 - t1, _time.perf_counter() - t2))
 
         n_tail = self.module.num_slices - ms
-        sym_tail = dec.decode_stream(np.asarray(idx), self.y_table)
+        t0 = _time.perf_counter()
+        idx_h = np.asarray(idx)
+        t1 = _time.perf_counter()
+        sym_tail = dec.decode_stream(idx_h, self.y_table)
+        t2 = _time.perf_counter()
         sym_tail = jnp.asarray(
             sym_tail.astype(np.int16).reshape(n_tail, batch, H, W, d)
         )
         out = self._decode_finish(
             self.variables, means, y_hat_prev, mu, sym_tail, cond
         )
+        times["steps"].append((t1 - t0, t2 - t1, _time.perf_counter() - t2))
+        self.timings = {**getattr(self, "timings", {}), "dec_steps": times["steps"]}
         return out

@@ -210,12 +210,14 @@ class ChannelARBase(nn.Module):
 
     # ----------------------- real-bitstream paths -----------------------
 
-    def encode_tpu(self, x_in, cond=None):
+    def encode_tpu(self, x_in, cond=None, with_xhat=True):
         """Whole-encode on device: dense symbols/indexes, one transfer.
 
-        Returns dict of int32 tensors:
+        Returns dict of int16/uint8 tensors:
           z_sym (B,h,w,Cz), y_sym / y_idx (num_slices, B, H, W, d),
-          plus f32 y_hat (decoder-side reconstruction) for reuse.
+        plus f32 y_hat (decoder-side latent) and, when ``with_xhat``,
+        the decoder-side x_hat (skippable when the caller does not need
+        the synthesis, e.g. the residual codec's encoder).
         """
         y = self.g_a(self._encoder_input(x_in, cond))
         y_shape = y.shape[1:3]
@@ -248,13 +250,15 @@ class ChannelARBase(nn.Module):
             idxs.append(idx)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
-        return {
+        out = {
             "z_sym": z_sym,
             "y_sym": jnp.stack(syms),
             "y_idx": jnp.stack(idxs),
             "y_hat": y_hat,
-            "x_hat": self._synthesis(y_hat, cond),
         }
+        if with_xhat:
+            out["x_hat"] = self._synthesis(y_hat, cond)
+        return out
 
     def decode_hyper(self, z_sym, y_shape, cond=None):
         """z_hat from decoded z symbols -> cropped (means, scales)."""

@@ -28,7 +28,11 @@ class PFrameRuntime:
             dtype=module.dtype,
         )
         self.mv_rt = CodecRuntime(mv_def, {"params": variables["params"]["mv_codec"]})
-        self.res_rt = CodecRuntime(res_def, {"params": variables["params"]["res_codec"]})
+        # the residual encoder never needs its own synthesis (the decoder
+        # side reconstructs it); skip the full-res deconv stack
+        self.res_rt = CodecRuntime(
+            res_def, {"params": variables["params"]["res_codec"]}, encoder_xhat=False
+        )
 
         mt = type(module)
         self._motion = jax.jit(

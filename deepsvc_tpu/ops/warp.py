@@ -37,7 +37,9 @@ def warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """
     B, H, W, C = image.shape
     orig_dtype = image.dtype
-    img = image.astype(jnp.float32)
+    # gather in the image's native dtype (bf16 halves the gather traffic —
+    # the dominant cost on TPU); only coordinates/weights are f32
+    img = image
     flo = flow.astype(jnp.float32)
 
     # Sample coordinates in pixel space, clamped to the border.  Clamping
@@ -67,8 +69,9 @@ def warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     v10 = gather(y1i, x0i)
     v11 = gather(y1i, x1i)
 
-    wx = wx[..., None]
-    wy = wy[..., None]
+    wdt = img.dtype if jnp.issubdtype(img.dtype, jnp.floating) else jnp.float32
+    wx = wx[..., None].astype(wdt)
+    wy = wy[..., None].astype(wdt)
     top = v00 * (1.0 - wx) + v01 * wx
     bot = v10 * (1.0 - wx) + v11 * wx
     out = top * (1.0 - wy) + bot * wy
