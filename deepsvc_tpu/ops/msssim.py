@@ -13,6 +13,7 @@ from __future__ import annotations
 import functools
 
 import jax.numpy as jnp
+import numpy as np
 from jax import lax
 
 MS_SSIM_WEIGHTS = (0.0448, 0.2856, 0.3001, 0.2363, 0.1333)
@@ -96,7 +97,15 @@ def ms_ssim(x, y, data_range: float = 1.0, win_size: int = 11, sigma: float = 1.
     """Multi-scale SSIM, mean over batch/channels. Inputs NHWC float."""
     x = x.astype(jnp.float32)
     y = y.astype(jnp.float32)
-    weights = jnp.asarray(weights, dtype=jnp.float32)
+    # drop scales the image is too small for (the torch reference impl
+    # requires size > (win-1)*2^4 and errors otherwise); renormalize the
+    # remaining exponent weights so they still sum to 1
+    min_side = min(x.shape[1], x.shape[2])
+    feasible = 1
+    while feasible < len(weights) and (min_side >> feasible) >= win_size:
+        feasible += 1
+    w = np.asarray(weights[:feasible], dtype=np.float32)
+    weights = jnp.asarray(w / w.sum())
     levels = weights.shape[0]
 
     mcs = []
