@@ -82,7 +82,7 @@ class TestTorchImport:
         import torch
 
         # synthesize a minimal torchvision-shaped state dict
-        sd = {"conv1.weight": torch.randn(64, 3, 7, 7)}
+        sd = {"conv1.weight": torch.randn(64, 3, 7, 7) * 0.05}
         for k in ("weight", "bias", "running_mean", "running_var"):
             sd[f"bn1.{k}"] = torch.randn(64).abs() + 0.1
         blocks = (3, 4, 6, 3)
@@ -93,12 +93,12 @@ class TestTorchImport:
                 dims = [(planes, cin if b == 0 else planes * 4, 1),
                         (planes, planes, 3), (planes * 4, planes, 1)]
                 for ci, (o, i, k) in enumerate(dims, start=1):
-                    sd[f"layer{li}.{b}.conv{ci}.weight"] = torch.randn(o, i, k, k)
+                    sd[f"layer{li}.{b}.conv{ci}.weight"] = torch.randn(o, i, k, k) * 0.02
                     for kk in ("weight", "bias", "running_mean", "running_var"):
                         sd[f"layer{li}.{b}.bn{ci}.{kk}"] = torch.randn(o).abs() + 0.1
                 if b == 0:
-                    sd[f"layer{li}.{b}.downsample.0.weight"] = torch.randn(
-                        planes * 4, cin, 1, 1
+                    sd[f"layer{li}.{b}.downsample.0.weight"] = (
+                        torch.randn(planes * 4, cin, 1, 1) * 0.02
                     )
                     for kk in ("weight", "bias", "running_mean", "running_var"):
                         sd[f"layer{li}.{b}.downsample.1.{kk}"] = (
