@@ -46,10 +46,12 @@ class SELSADetector(nn.Module):
     sem_N: int = 72
     neck_channels: int = 512
     proposals_per_frame: int = 128
+    depth: int = 50
 
     def setup(self):
-        self.teacher = ResNetTeacher(out_indices=(0, 3))
-        self.student = StudentBackbone(N=self.sem_N, out_indices=(0, 3))
+        self.teacher = ResNetTeacher(depth=self.depth, out_indices=(0, 3))
+        self.student = StudentBackbone(N=self.sem_N, depth=self.depth,
+                                       out_indices=(0, 3))
         self.neck = nn.Conv(self.neck_channels, (3, 3), padding="SAME")
         self.rpn = RPNHead(channels=self.neck_channels)
         self.troi = TemporalRoIAlign(channels=self.neck_channels)

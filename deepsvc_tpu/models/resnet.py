@@ -23,7 +23,9 @@ from ..ops import max_pool
 
 Dtype = Any
 
-RESNET_STAGE_BLOCKS = {50: (3, 4, 6, 3), 101: (3, 4, 23, 3), 152: (3, 8, 36, 3)}
+# 26 = minimal bottleneck variant (1 block/stage) for tests/prototyping
+RESNET_STAGE_BLOCKS = {26: (1, 1, 1, 1), 50: (3, 4, 6, 3), 101: (3, 4, 23, 3),
+                       152: (3, 8, 36, 3)}
 
 
 class FrozenBatchNorm(nn.Module):

@@ -46,6 +46,7 @@ def main():
     from deepsvc_tpu.train import PFrameTrainer
     from deepsvc_tpu.utils import AverageMeter, setup_logger
     from deepsvc_tpu.utils.checkpoint import CheckpointManager
+    from deepsvc_tpu.utils.metrics_writer import MetricsWriter
 
     cfg = TrainConfig(
         seed=args.seed,
@@ -72,6 +73,7 @@ def main():
             logger.info(f"resumed from step {step}")
 
     meter = AverageMeter()
+    writer = MetricsWriter(os.path.join(run_dir, "summary"))
     rng = np.random.default_rng(args.seed)
 
     def batches():
@@ -107,6 +109,8 @@ def main():
         if step % 100 == 0:
             logger.info(f"step {step} loss {meter.avg:.4f} {metrics}")
             meter.reset()
+        if step % 300 == 0:  # reference cadence (Learner.py:203-212)
+            writer.add_scalars(metrics, step, prefix="train_")
         if step % 5000 == 0:
             ckpt.save(step, trainer.state)
         if args.steps is not None and step >= args.steps:
