@@ -34,16 +34,23 @@ def get_args():
 
 
 def build_runtimes(args, lam):
-    """Construct runtimes, loading checkpoints when available."""
+    """Construct runtimes, loading checkpoints when available.
+
+    Returns (i_runtime, p_runtime, sm_runtime|None, teacher_apply|None).
+    """
     import jax
+    import jax.numpy as jnp
 
     from deepsvc_tpu.models import (
         CodecRuntime,
         ImageCodec,
         PFrameCodec,
         PFrameRuntime,
+        ResNetTeacher,
+        StudentBackbone,
         init_pframe_variables,
     )
+    from deepsvc_tpu.models.semantic_runtime import SemanticRuntime
 
     tiny = args.smoke
     if tiny:
@@ -52,8 +59,6 @@ def build_runtimes(args, lam):
     else:
         i_model = ImageCodec()
         p_model = PFrameCodec()
-
-    import jax.numpy as jnp
 
     x = jnp.zeros((1, 64, 64, 3))
     i_vars = i_model.init({"params": jax.random.PRNGKey(0)}, x, rng=jax.random.PRNGKey(1))
@@ -69,7 +74,36 @@ def build_runtimes(args, lam):
             i_vars, p_vars = restored["i"], restored["p"]
             print(f"loaded checkpoint step {step} from {ckpt_dir}")
 
-    return CodecRuntime(i_model, i_vars), PFrameRuntime(p_model, p_vars)
+    sm_rt = None
+    teacher_apply = None
+    if not args.no_semantic:
+        # semantic layer: teacher + student, from checkpoints when present
+        depth = 26 if tiny else 50
+        sem_N = 16 if tiny else 72
+        teacher = ResNetTeacher(depth=depth, out_indices=(0,))
+        t_vars = teacher.init(jax.random.PRNGKey(0), x)
+        student = StudentBackbone(N=sem_N, depth=depth, out_indices=(0,))
+        supp0 = jnp.zeros((2, 1, 16, 16, 256))
+        s_vars = student.init(
+            {"params": jax.random.PRNGKey(0)}, x, supp0, rng=jax.random.PRNGKey(1)
+        )
+        sem_dir = os.path.join(args.checkpoint_root, f"semantic_{lam}")
+        if os.path.isdir(sem_dir):
+            from deepsvc_tpu.utils.checkpoint import CheckpointManager
+
+            mgr = CheckpointManager(sem_dir)
+            restored, step = mgr.restore({"teacher": t_vars, "student": s_vars})
+            if restored is not None:
+                t_vars, s_vars = restored["teacher"], restored["student"]
+                print(f"loaded semantic checkpoint step {step}")
+        elif not tiny:
+            # no trained semantic weights: run structure+texture only
+            return CodecRuntime(i_model, i_vars), PFrameRuntime(p_model, p_vars), None, None
+
+        sm_rt = SemanticRuntime(student, s_vars)
+        teacher_apply = jax.jit(lambda xn: teacher.apply(t_vars, xn))
+
+    return CodecRuntime(i_model, i_vars), PFrameRuntime(p_model, p_vars), sm_rt, teacher_apply
 
 
 def main():
@@ -80,9 +114,9 @@ def main():
     os.makedirs(out_dir, exist_ok=True)
 
     for lam in args.lambdas:
-        i_rt, p_rt = build_runtimes(args, lam)
-        sm_rt = None  # semantic runtime wired in when its checkpoints exist
-        ev = GOPEvaluator(i_rt, p_rt, sm_runtime=sm_rt, gop=12)
+        i_rt, p_rt, sm_rt, teacher_apply = build_runtimes(args, lam)
+        ev = GOPEvaluator(i_rt, p_rt, sm_runtime=sm_rt,
+                          teacher_apply=teacher_apply, gop=12)
 
         per_seq = {}
         if args.smoke:
