@@ -209,6 +209,49 @@ class PFrameTrainer:
 
         return step
 
+    # ---------------------------- validation ----------------------------
+
+    def _make_eval_step(self):
+        @jax.jit
+        def step(params, ref, curr, sm, feature):
+            out = self.model.apply(params, ref, curr, sm, feature, training=False)
+            num_pixels = curr.shape[0] * curr.shape[1] * curr.shape[2]
+            bpp = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
+            bpp += bpp_from_likelihoods(out["res_likelihoods"], num_pixels)
+            d, warp_d, mc_d = _distortion(
+                out["recon"], curr, out["warped"], out["predict_frame"],
+                self.cfg.metric,
+            )
+            lam = float(self.cfg.lambda_rd)
+            if self.cfg.metric == "msssim":
+                lam = lam / 50.0
+            return out["recon"], out["feature"], {
+                "loss": lam * d + bpp,
+                "distortion": d,
+                "warp_d": warp_d,
+                "mc_d": mc_d,
+                "bpp": bpp,
+            }
+
+        return step
+
+    def validate_batch(self, frames, sms) -> dict:
+        """Deterministic eval pass over a clip (Learner.py:398-494 role);
+        returns mean metrics over the P frames."""
+        info = stage_info(int(self.state.step), self.cfg)
+        f = min(info.frames, frames.shape[0])
+        key = "eval"
+        if key not in self._frame_step_cache:
+            self._frame_step_cache[key] = self._make_eval_step()
+        step = self._frame_step_cache[key]
+        ref, feature = frames[0], None
+        acc = {}
+        for t in range(1, f):
+            ref, feature, m = step(self.state.params, ref, frames[t], sms[t], feature)
+            for k, v in m.items():
+                acc[k] = acc.get(k, 0.0) + float(v)
+        return {k: v / max(f - 1, 1) for k, v in acc.items()}
+
     # ------------------------------ driver ------------------------------
 
     def train_batch(self, frames, sms):

@@ -31,6 +31,7 @@ def get_args():
                    help="vimeo_septuplet root (sep_trainlist.txt + sequences/)")
     p.add_argument("--log-root", type=str, default="./output/train")
     p.add_argument("--steps", type=int, default=None, help="stop after N steps")
+    p.add_argument("--val-every", type=int, default=5000)
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic clips (smoke/e2e testing)")
     p.add_argument("--tiny", action="store_true", help="tiny model config")
@@ -75,6 +76,7 @@ def main():
     meter = AverageMeter()
     writer = MetricsWriter(os.path.join(run_dir, "summary"))
     rng = np.random.default_rng(args.seed)
+    best_val_loss = float("inf")
 
     def batches():
         if args.synthetic or args.data_root is None:
@@ -111,8 +113,20 @@ def main():
             meter.reset()
         if step % 300 == 0:  # reference cadence (Learner.py:203-212)
             writer.add_scalars(metrics, step, prefix="train_")
-        if step % 5000 == 0:
-            ckpt.save(step, trainer.state)
+        if step % args.val_every == 0:
+            # held-out validation + best-loss checkpointing (Learner.py:491-493)
+            val_frames = jnp.asarray(
+                make_clip_batch(
+                    np.random.default_rng(12345), frames=7,
+                    batch=args.batch_size, height=args.crop, width=args.crop,
+                )
+            ) if (args.synthetic or args.data_root is None) else frames
+            val = trainer.validate_batch(val_frames, sms)
+            writer.add_scalars(val, step, prefix="val_")
+            logger.info(f"validate @{step}: {val}")
+            if val["loss"] < best_val_loss:
+                best_val_loss = val["loss"]
+                ckpt.save(step, trainer.state, metrics={"val_loss": val["loss"]})
         if args.steps is not None and step >= args.steps:
             break
 
