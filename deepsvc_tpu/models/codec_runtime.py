@@ -129,10 +129,21 @@ class CodecRuntime:
     # --------------------------------------------------------------------
 
     def compress(self, x, cond=None) -> Bitstream:
+        return self.finish_compress(self.start_compress(x, cond))
+
+    def start_compress(self, x, cond=None):
+        """Dispatch the device encode (async); finish_compress() later.
+
+        Lets callers queue further device work (e.g. the P-frame MC
+        stage on the decoder-side MV reconstruction) before blocking on
+        the symbol pull, overlapping host rANS with device compute.
+        """
+        return self._encode(self.variables, x, cond)
+
+    def finish_compress(self, out) -> Bitstream:
         import time as _time
 
         t0 = _time.perf_counter()
-        out = self._encode(self.variables, x, cond)
         # one batched device->host pull (int16 syms / uint8 idx)
         z_sym, y_sym, y_idx = jax.device_get(
             (out["z_sym"], out["y_sym"], out["y_idx"])

@@ -67,11 +67,14 @@ class PFrameRuntime:
         """
         v = self.variables
         mv_in = self._motion(v, ref, curr)
-        mv_bs = self.mv_rt.compress(mv_in)
-        recon_mv1 = self.mv_rt._last_encode["x_hat"]
-        mc = self._mc(v, ref, recon_mv1, sm_fea, feature)
+        # dispatch the whole device chain async, then block on symbol
+        # pulls — host rANS overlaps the queued MC/residual compute
+        mv_enc = self.mv_rt.start_compress(mv_in)
+        mc = self._mc(v, ref, mv_enc["x_hat"], sm_fea, feature)
         res_in = self._res_in(v, ref, curr, mc["predict_frame"], mc["predict_fea"])
-        res_bs = self.res_rt.compress(res_in)
+        res_enc = self.res_rt.start_compress(res_in)
+        mv_bs = self.mv_rt.finish_compress(mv_enc)
+        res_bs = self.res_rt.finish_compress(res_enc)
         return mv_bs, res_bs
 
     def decompress(self, ref, mv_bs: Bitstream, res_bs: Bitstream, sm_fea,
