@@ -1,4 +1,10 @@
-from .mesh import make_mesh, replicate, shard_leading_axis
+from .mesh import make_mesh, replicate, shard_leading_axis, shard_spatial
 from .train import make_dp_cascade_step
 
-__all__ = ["make_mesh", "replicate", "shard_leading_axis", "make_dp_cascade_step"]
+__all__ = [
+    "make_mesh",
+    "replicate",
+    "shard_leading_axis",
+    "shard_spatial",
+    "make_dp_cascade_step",
+]
