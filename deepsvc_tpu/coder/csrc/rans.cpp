@@ -151,9 +151,11 @@ void push_symbol_ops(std::vector<EncOp>& ops, int32_t value,
   ops.push_back({start, freq, 0});
 
   if (bypass) {
-    // count nibbles
+    // count nibbles (64-bit shift: n*kBypassBits reaches 32 for
+    // overflow >= 2^28, and a 32-bit shift-by-32 is UB / x86 no-op,
+    // which would spin this loop forever)
     uint32_t n = 0;
-    while ((overflow >> (n * kBypassBits)) != 0) ++n;
+    while ((static_cast<uint64_t>(overflow) >> (n * kBypassBits)) != 0) ++n;
     // encode nibble count, kMaxBypass-ary unary
     uint32_t v = n;
     while (v >= kMaxBypass) {
@@ -218,11 +220,14 @@ int decode_symbols(RansDecState& st, const int32_t* indexes, int n,
       n_nib += v;
       uint32_t overflow = 0;
       for (uint32_t k = 0; k < n_nib; ++k) {
-        overflow |= st.get_bypass() << (k * kBypassBits);
+        // 64-bit shift: a corrupt stream can claim n_nib > 8, and a
+        // 32-bit shift >= 32 would be UB rather than a harmless drop
+        overflow |= static_cast<uint32_t>(
+            static_cast<uint64_t>(st.get_bypass()) << (k * kBypassBits));
       }
-      // invert zigzag
+      // invert zigzag (64-bit: overflow+1 must not wrap at UINT32_MAX)
       if (overflow & 1) {
-        raw = -static_cast<int64_t>(overflow + 1) / 2;
+        raw = -((static_cast<int64_t>(overflow) + 1) / 2);
       } else {
         raw = static_cast<int64_t>(overflow) / 2 + max_value;
       }

@@ -18,7 +18,23 @@ import numpy as np
 from .frames import read_image
 
 # l_PSNR -> BPG QP (dataset.py:61-68); l_MSSSIM -> CA level (dataset.py:70-77)
-QP_BY_LAMBDA = {256: 37, 512: 32, 1024: 27, 2048: 22, 80: 37, 160: 32, 320: 27, 640: 22}
+QP_BY_LAMBDA = {
+    256: 37, 512: 32, 1024: 27, 2048: 22,
+    80: 37, 160: 32, 320: 27, 640: 22, 1280: 22,
+}
+
+
+def qp_for_lambda(lam: int) -> int:
+    """Strict lambda->QP pairing (higher lambda -> lower QP, dataset.py:59-77).
+
+    Raises on unmapped lambdas instead of silently mispairing rate tiers.
+    """
+    try:
+        return QP_BY_LAMBDA[lam]
+    except KeyError:
+        raise KeyError(
+            f"no BPG QP mapped for lambda={lam}; known: {sorted(QP_BY_LAMBDA)}"
+        ) from None
 LEVEL_BY_LAMBDA = {8: 2, 16: 3, 32: 5, 64: 7}
 
 

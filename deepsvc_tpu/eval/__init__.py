@@ -1,5 +1,5 @@
 from .bdrate import bd_quality, bd_rate
-from .rd_eval import FrameMetrics, GOPEvaluator, aggregate, write_results
+from .rd_eval import FrameMetrics, GOPEvaluator, aggregate, write_aggregate, write_results
 from .registry import TEST_DATA, EvalDataset
 
 __all__ = [
@@ -8,6 +8,7 @@ __all__ = [
     "FrameMetrics",
     "GOPEvaluator",
     "aggregate",
+    "write_aggregate",
     "write_results",
     "TEST_DATA",
     "EvalDataset",

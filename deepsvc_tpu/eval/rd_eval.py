@@ -178,7 +178,9 @@ def aggregate(metrics: list[FrameMetrics]) -> dict:
         "imsssim": avg([m.msssim for m in i_ms]),
         "ppsnr": avg([m.psnr for m in p_ms]),
         "pbpp": avg([m.bpp for m in p_ms]),
-        "pbpp_wosm": avg([m.bpp_wo_sm for m in p_ms]),
+        # key name matches the reference schema verbatim, typo included
+        # (test_video.py:446 "porposed_pbpp_wosm")
+        "porposed_pbpp_wosm": avg([m.bpp_wo_sm for m in p_ms]),
         "pmsssim": avg([m.msssim for m in p_ms]),
         "mcpsnr": avg([m.mc_psnr for m in p_ms]),
         "warppsnr": avg([m.warp_psnr for m in p_ms]),
@@ -207,6 +209,21 @@ def write_results(path: str, name: str, per_seq: dict[str, dict]):
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     keys = next(iter(per_seq.values())).keys() if per_seq else []
     results = {k: [per_seq[s][k] for s in per_seq] for k in keys}
+    output = {"name": name, "description": "Inference (rans)", "results": results}
+    with open(path, "w", encoding="utf-8") as f:
+        json.dump(output, f, indent=2)
+    return output
+
+
+def write_aggregate(path: str, name: str, per_lambda: list[dict]):
+    """Across-lambda aggregate: one list entry per rate point, each the
+    sequence-average of that lambda's per-sequence series
+    (test_video.py:495-513 {tgt}_{INDICATOR}.json)."""
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    keys = per_lambda[0]["results"].keys() if per_lambda else []
+    results = {
+        k: [float(np.mean(out["results"][k])) for out in per_lambda] for k in keys
+    }
     output = {"name": name, "description": "Inference (rans)", "results": results}
     with open(path, "w", encoding="utf-8") as f:
         json.dump(output, f, indent=2)

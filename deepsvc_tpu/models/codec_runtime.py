@@ -171,6 +171,15 @@ class CodecRuntime:
             y_shape=tuple(y_sym.shape[2:4]),
         )
 
+    def start_decompress(self, bs: Bitstream, cond=None, batch: int = 1) -> "_DecodeJob":
+        """Begin a resumable decode: host z decode + async hyper/params
+        dispatch happen here; drive with job.advance() until job.done.
+
+        Two independent jobs can be interleaved so one stream's host rANS
+        overlaps the other's queued device step (the P-frame MV/residual
+        pair, pframe_runtime.decompress)."""
+        return _DecodeJob(self, bs, cond, batch)
+
     def decompress(self, bs: Bitstream, cond=None, batch: int = 1):
         """Minimum-round-trip decode: max_support_slices + 1 host syncs.
 
@@ -178,55 +187,82 @@ class CodecRuntime:
         H->D; all f32 state (mu, decoded slices) stays on device between
         the fused jitted steps.
         """
+        job = self.start_decompress(bs, cond, batch)
+        while not job.done:
+            job.advance()
+        self.timings = {**getattr(self, "timings", {}), "dec_steps": job.times}
+        return job.result
+
+
+class _DecodeJob:
+    """One in-flight channel-AR decode, advanced one host-blocking round
+    at a time (max_support_slices rounds + 1 tail round)."""
+
+    def __init__(self, rt: CodecRuntime, bs: Bitstream, cond, batch: int):
+        self.rt = rt
+        self.bs = bs
+        self.cond = cond
+        self.batch = batch
+        self.done = False
+        self.result = None
+        self.times = []
+
         z_shape = (batch,) + tuple(bs.z_shape)
         zc = z_shape[-1]
         z_rows = np.broadcast_to(np.arange(zc, dtype=np.int32), z_shape)
+        # host rANS for the hyper latent (blocking host CPU only)
         z_sym = (
-            decode_with_indexes(bs.z_string, z_rows, self.z_table)
+            decode_with_indexes(bs.z_string, z_rows, rt.z_table)
             .reshape(z_shape)
             .astype(np.int16)
         )
-
-        means, scales = self._decode_hyper(
-            self.variables, jnp.asarray(z_sym), tuple(bs.y_shape), cond
+        # async device dispatches: hyper synthesis + slice-0 params
+        self._latents = rt._decode_hyper(
+            rt.variables, jnp.asarray(z_sym), tuple(bs.y_shape), cond
         )
+        means, scales = self._latents
+        self._mu, self._idx = rt._decode_params(rt.variables, means, scales, cond)
+        self._y_hat_prev = None
+        self._i = 1
 
-        dec = RansDecoder()
-        dec.set_stream(bs.y_string)
+        self._dec = RansDecoder()
+        self._dec.set_stream(bs.y_string)
 
-        H, W = bs.y_shape
-        d = self.module.slice_depth
-        ms = self.module.max_support_slices
-
+    def advance(self) -> bool:
+        """One host round: pull idx (blocks on the queued device step),
+        host rANS, push symbols + dispatch the next device step (async).
+        Returns self.done."""
         import time as _time
 
-        times = {"steps": []}
-        mu, idx = self._decode_params(self.variables, means, scales, cond)
-        y_hat_prev = None
-        for i in range(1, ms + 1):
-            t0 = _time.perf_counter()
-            idx_h = np.asarray(idx)
-            t1 = _time.perf_counter()
-            sym = dec.decode_stream(idx_h, self.y_table)
-            t2 = _time.perf_counter()
-            sym = jnp.asarray(sym.astype(np.int16).reshape(batch, H, W, -1))
-            y_hat_prev, mu, idx = self._decode_step(
-                self.variables, means, scales, y_hat_prev, mu, sym, cond, i
-            )
-            times["steps"].append((t1 - t0, t2 - t1, _time.perf_counter() - t2))
+        if self.done:
+            return True
+        rt, cond, batch = self.rt, self.cond, self.batch
+        H, W = self.bs.y_shape
+        means, scales = self._latents
+        ms = rt.module.max_support_slices
 
-        n_tail = self.module.num_slices - ms
         t0 = _time.perf_counter()
-        idx_h = np.asarray(idx)
+        idx_h = np.asarray(self._idx)
         t1 = _time.perf_counter()
-        sym_tail = dec.decode_stream(idx_h, self.y_table)
+        sym = self._dec.decode_stream(idx_h, rt.y_table)
         t2 = _time.perf_counter()
-        sym_tail = jnp.asarray(
-            sym_tail.astype(np.int16).reshape(n_tail, batch, H, W, d)
-        )
-        out = self._decode_finish(
-            self.variables, means, y_hat_prev, mu, sym_tail, cond
-        )
-        times["steps"].append((t1 - t0, t2 - t1, _time.perf_counter() - t2))
-        self.timings = {**getattr(self, "timings", {}), "dec_steps": times["steps"]}
-        return out
+
+        if self._i <= ms:
+            sym = jnp.asarray(sym.astype(np.int16).reshape(batch, H, W, -1))
+            self._y_hat_prev, self._mu, self._idx = rt._decode_step(
+                rt.variables, means, scales, self._y_hat_prev, self._mu, sym,
+                cond, self._i,
+            )
+            self._i += 1
+        else:
+            d = rt.module.slice_depth
+            n_tail = rt.module.num_slices - ms
+            sym_tail = jnp.asarray(
+                sym.astype(np.int16).reshape(n_tail, batch, H, W, d)
+            )
+            self.result = rt._decode_finish(
+                rt.variables, means, self._y_hat_prev, self._mu, sym_tail, cond
+            )
+            self.done = True
+        self.times.append((t1 - t0, t2 - t1, _time.perf_counter() - t2))
+        return self.done

@@ -80,15 +80,33 @@ class PFrameRuntime:
     def decompress(self, ref, mv_bs: Bitstream, res_bs: Bitstream, sm_fea,
                    feature=None):
         """Returns dict(feature, recon, warped, predict_frame)
-        (video_model.py:153-167)."""
+        (video_model.py:153-167).
+
+        The MV and residual latent decodes are data-independent (the
+        residual codec is unconditioned), so the two channel-AR chains
+        are interleaved: one stream's host rANS round overlaps the
+        other's queued device step, and the MC stage is dispatched
+        (async) the moment the MV stream completes, overlapping the
+        residual stream's remaining host rounds."""
         import jax.numpy as jnp
 
         v = self.variables
-        recon_mv1 = self.mv_rt.decompress(mv_bs)["x_hat"]
-        mc = self._mc(v, ref, recon_mv1, sm_fea, feature)
-        recon_res1 = self.res_rt.decompress(res_bs)["x_hat"]
+        mv_job = self.mv_rt.start_decompress(mv_bs)
+        res_job = self.res_rt.start_decompress(res_bs)
+        mc = None
+        while not (mv_job.done and res_job.done):
+            if not mv_job.done:
+                mv_job.advance()
+                if mv_job.done:
+                    mc = self._mc(v, ref, mv_job.result["x_hat"], sm_fea, feature)
+            if not res_job.done:
+                res_job.advance()
+        self.mv_rt.timings = {**getattr(self.mv_rt, "timings", {}),
+                              "dec_steps": mv_job.times}
+        self.res_rt.timings = {**getattr(self.res_rt, "timings", {}),
+                               "dec_steps": res_job.times}
         feature_out, recon = self._recon(
-            v, ref, recon_res1, mc["predict_fea"], mc["warp_fea"]
+            v, ref, res_job.result["x_hat"], mc["predict_fea"], mc["warp_fea"]
         )
         return {
             "feature": feature_out,

@@ -86,18 +86,49 @@ def main():
                     height=args.crop, width=args.crop,
                 )
         else:
-            from deepsvc_tpu.data.vimeo import QP_BY_LAMBDA, VimeoClips, VimeoConfig
+            from deepsvc_tpu.data.vimeo import VimeoClips, VimeoConfig, qp_for_lambda
 
             vc = VimeoConfig(
                 root=args.data_root,
                 model_type="PSNR" if args.metric == "mse" else "MSSSIM",
-                qp=QP_BY_LAMBDA.get(args.lambda_rd, 27),
+                qp=qp_for_lambda(args.lambda_rd),
                 crop=args.crop,
                 seed=args.seed,
             )
             clips = VimeoClips(vc)
             while True:
                 yield from clips.batches(args.batch_size)
+
+    def val_batches():
+        """Held-out validation source (reference sep_testlist.txt valid set,
+        Learner.py:398-494) — never the current training batch."""
+        if args.synthetic or args.data_root is None:
+            vrng = np.random.default_rng(12345)
+            while True:
+                yield make_clip_batch(
+                    vrng, frames=7, batch=args.batch_size,
+                    height=args.crop, width=args.crop,
+                )
+        else:
+            from deepsvc_tpu.data.vimeo import VimeoClips, VimeoConfig, qp_for_lambda
+
+            vc = VimeoConfig(
+                root=args.data_root, split="test",
+                model_type="PSNR" if args.metric == "mse" else "MSSSIM",
+                qp=qp_for_lambda(args.lambda_rd),
+                crop=args.crop, seed=12345,
+            )
+            clips = VimeoClips(vc)
+            while True:
+                yield from clips.batches(args.batch_size)
+
+    # step increments by frames-1 per batch in the per-frame bands, so exact
+    # `step % N` tests can never fire; trigger on threshold *crossings*.
+    val_iter = val_batches()
+    prev_step = int(trainer.state.step)
+
+    def crossed(period: int, lo: int, hi: int) -> bool:
+        return lo // period != hi // period
 
     for batch in batches():
         frames = jnp.asarray(batch)
@@ -108,25 +139,26 @@ def main():
         metrics = trainer.train_batch(frames, sms)
         meter.update(metrics["loss"])
         step = int(trainer.state.step)
-        if step % 100 == 0:
+        if crossed(100, prev_step, step):
             logger.info(f"step {step} loss {meter.avg:.4f} {metrics}")
             meter.reset()
-        if step % 300 == 0:  # reference cadence (Learner.py:203-212)
+        if crossed(300, prev_step, step):  # reference cadence (Learner.py:203-212)
             writer.add_scalars(metrics, step, prefix="train_")
-        if step % args.val_every == 0:
+        if crossed(args.val_every, prev_step, step):
             # held-out validation + best-loss checkpointing (Learner.py:491-493)
-            val_frames = jnp.asarray(
-                make_clip_batch(
-                    np.random.default_rng(12345), frames=7,
-                    batch=args.batch_size, height=args.crop, width=args.crop,
-                )
-            ) if (args.synthetic or args.data_root is None) else frames
-            val = trainer.validate_batch(val_frames, sms)
+            val_frames = jnp.asarray(next(val_iter))
+            val_sms = jnp.zeros(
+                (val_frames.shape[0], val_frames.shape[1],
+                 args.crop // 4, args.crop // 4, 256),
+                jnp.float32,
+            )
+            val = trainer.validate_batch(val_frames, val_sms)
             writer.add_scalars(val, step, prefix="val_")
             logger.info(f"validate @{step}: {val}")
             if val["loss"] < best_val_loss:
                 best_val_loss = val["loss"]
                 ckpt.save(step, trainer.state, metrics={"val_loss": val["loss"]})
+        prev_step = step
         if args.steps is not None and step >= args.steps:
             break
 

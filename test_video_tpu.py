@@ -64,15 +64,39 @@ def build_runtimes(args, lam):
     i_vars = i_model.init({"params": jax.random.PRNGKey(0)}, x, rng=jax.random.PRNGKey(1))
     p_vars = init_pframe_variables(p_model, jax.random.PRNGKey(0), H=64, W=64)
 
-    ckpt_dir = os.path.join(args.checkpoint_root, f"{args.metric}_{lam}")
-    if os.path.isdir(ckpt_dir):
+    # Checkpoint contract: trainers save a full TrainState (step/params/
+    # opt_state/rng) via main.py under <root>/<metric>_<lam>/checkpoints;
+    # eval restores that exact layout and extracts params.
+    def _restore_params(run_dir, template_vars):
+        from deepsvc_tpu.train import TrainState, make_optimizer
         from deepsvc_tpu.utils.checkpoint import CheckpointManager
 
+        ckpt_dir = os.path.join(run_dir, "checkpoints")
+        if not os.path.isdir(ckpt_dir):
+            ckpt_dir = run_dir  # tolerate pointing directly at the manager dir
+        if not os.path.isdir(ckpt_dir):
+            return None, None
+        tx = make_optimizer(template_vars)
+        template = TrainState.create(template_vars, tx, jax.random.PRNGKey(0))
         mgr = CheckpointManager(ckpt_dir)
-        restored, step = mgr.restore({"i": i_vars, "p": p_vars})
-        if restored is not None:
-            i_vars, p_vars = restored["i"], restored["p"]
-            print(f"loaded checkpoint step {step} from {ckpt_dir}")
+        restored, step = mgr.restore(template)
+        if restored is None:
+            return None, None
+        return restored.params, step
+
+    p_run = os.path.join(args.checkpoint_root, f"{args.metric}_{lam}")
+    if os.path.isdir(p_run):
+        loaded, step = _restore_params(p_run, p_vars)
+        if loaded is not None:
+            p_vars = loaded
+            print(f"loaded P-frame checkpoint step {step} from {p_run}")
+
+    i_run = os.path.join(args.checkpoint_root, f"image_{args.metric}_{lam}")
+    if os.path.isdir(i_run):
+        loaded, step = _restore_params(i_run, i_vars)
+        if loaded is not None:
+            i_vars = loaded
+            print(f"loaded I-codec checkpoint step {step} from {i_run}")
 
     sm_rt = None
     teacher_apply = None
@@ -98,21 +122,40 @@ def build_runtimes(args, lam):
                 print(f"loaded semantic checkpoint step {step}")
         elif not tiny:
             # no trained semantic weights: run structure+texture only
-            return CodecRuntime(i_model, i_vars), PFrameRuntime(p_model, p_vars), None, None
+            return (
+                CodecRuntime(i_model, i_vars, encoder_xhat=False),
+                PFrameRuntime(p_model, p_vars),
+                None,
+                None,
+            )
 
         sm_rt = SemanticRuntime(student, s_vars)
         teacher_apply = jax.jit(lambda xn: teacher.apply(t_vars, xn))
 
-    return CodecRuntime(i_model, i_vars), PFrameRuntime(p_model, p_vars), sm_rt, teacher_apply
+    # eval never consumes the encoder-side I-frame synthesis (the decoder
+    # x_hat feeds the GOP), so skip the g_s deconv stack on the encode side
+    return (
+        CodecRuntime(i_model, i_vars, encoder_xhat=False),
+        PFrameRuntime(p_model, p_vars),
+        sm_rt,
+        teacher_apply,
+    )
 
 
 def main():
     args = get_args()
-    from deepsvc_tpu.eval import TEST_DATA, GOPEvaluator, aggregate, write_results
+    from deepsvc_tpu.eval import (
+        TEST_DATA,
+        GOPEvaluator,
+        aggregate,
+        write_aggregate,
+        write_results,
+    )
 
     out_dir = os.path.join(args.output, args.metric.upper(), args.dataset)
     os.makedirs(out_dir, exist_ok=True)
 
+    per_lambda_outputs = []
     for lam in args.lambdas:
         i_rt, p_rt, sm_rt, teacher_apply = build_runtimes(args, lam)
         ev = GOPEvaluator(i_rt, p_rt, sm_runtime=sm_rt,
@@ -153,8 +196,19 @@ def main():
             per_seq,
         )
         print(json.dumps(out)[:400])
+        per_lambda_outputs.append(out)
         if args.smoke:
             break
+
+    # across-lambda aggregate: {tgt}_{INDICATOR}.json with one list entry
+    # per rate point (test_video.py:495-513)
+    if per_lambda_outputs:
+        agg = write_aggregate(
+            os.path.join(out_dir, f"{args.dataset}_{args.metric.upper()}.json"),
+            args.dataset,
+            per_lambda_outputs,
+        )
+        print("aggregate:", json.dumps(agg)[:400])
 
 
 if __name__ == "__main__":

@@ -48,6 +48,17 @@ class TestRansRoundTrip:
         out = decode_with_indexes(stream, indexes, table)
         np.testing.assert_array_equal(out, values)
 
+    def test_bypass_extreme_zigzag_boundary(self, rng):
+        """overflow == UINT32_MAX (raw == INT32_MIN) must invert exactly;
+        a 32-bit `overflow + 1` would wrap to 0 and decode garbage."""
+        table = random_table(rng)
+        indexes = np.arange(min(4, table.rows), dtype=np.int32)
+        # encoder raw symbol = value - offset; force raw = INT32_MIN
+        values = (np.int64(-(2**31)) + table.offset[indexes]).astype(np.int32)
+        stream = encode_with_indexes(values, indexes, table)
+        out = decode_with_indexes(stream, indexes, table)
+        np.testing.assert_array_equal(out, values)
+
     def test_empty(self, rng):
         table = random_table(rng)
         stream = encode_with_indexes(

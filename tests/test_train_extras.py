@@ -77,6 +77,40 @@ class TestCheckpointing:
                                       np.asarray(state.params["w"]))
 
 
+class TestTrainEvalCheckpointContract:
+    def test_main_save_then_eval_restore(self, tmp_path, rng):
+        """The TrainState main.py saves must load through
+        test_video_tpu.build_runtimes' restore path (ADVICE r1)."""
+        import argparse
+
+        from deepsvc_tpu.models import init_pframe_variables
+        from deepsvc_tpu.train import make_optimizer
+        from deepsvc_tpu.utils.checkpoint import CheckpointManager
+
+        # trainer side (main.py --tiny layout)
+        model = PFrameCodec(mv_latent=16, res_latent=16)
+        p_vars = init_pframe_variables(model, jax.random.PRNGKey(3), H=64, W=64)
+        tx = make_optimizer(p_vars)
+        state = TrainState.create(p_vars, tx, jax.random.PRNGKey(0))
+        run_dir = tmp_path / "mse_640"
+        mgr = CheckpointManager(str(run_dir / "checkpoints"))
+        mgr.save(11, state)
+
+        # eval side
+        import test_video_tpu as tv
+
+        args = argparse.Namespace(
+            checkpoint_root=str(tmp_path), metric="mse", smoke=True,
+            no_semantic=True,
+        )
+        _, p_rt, _, _ = tv.build_runtimes(args, 640)
+        got = jax.tree_util.tree_leaves(p_rt.variables)
+        want = jax.tree_util.tree_leaves(p_vars)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(w))
+
+
 class TestTorchImport:
     def test_convert_resnet50_state_dict(self):
         import torch
