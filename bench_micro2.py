@@ -96,9 +96,8 @@ def main():
              jnp.concatenate([img[:, 1:], img[:, -1:]], axis=1),
              jnp.concatenate([sx[:, 1:], sx[:, -1:]], axis=1)], axis=-1)
         flat = quad.reshape(H * W, 4 * C)
-        v = jnp.take(flat, (y0i * W + x0i).reshape(-1), axis=0,
-                     unique_indices=False, indices_are_sorted=False,
-                     mode="promise_in_bounds").reshape(H, W, 4, C)
+        v = flat.at[(y0i * W + x0i).reshape(-1)].get(
+            mode="promise_in_bounds").reshape(H, W, 4, C)
         wxl = wx[..., None].astype(img.dtype); wyl = wy[..., None].astype(img.dtype)
         top = v[..., 0, :] * (1 - wxl) + v[..., 1, :] * wxl
         bot = v[..., 2, :] * (1 - wxl) + v[..., 3, :] * wxl
@@ -114,8 +113,8 @@ def main():
         pair = jnp.concatenate([img, sx], axis=-1).reshape(H * W, 128)
         i0 = (y0i * W + x0i).reshape(-1)
         i1 = (jnp.minimum(y0i + 1, H - 1) * W + x0i).reshape(-1)
-        v0 = jnp.take(pair, i0, axis=0, mode="promise_in_bounds").reshape(H, W, 2, 64)
-        v1 = jnp.take(pair, i1, axis=0, mode="promise_in_bounds").reshape(H, W, 2, 64)
+        v0 = pair.at[i0].get(mode="promise_in_bounds").reshape(H, W, 2, 64)
+        v1 = pair.at[i1].get(mode="promise_in_bounds").reshape(H, W, 2, 64)
         wxl = wx[..., None].astype(img.dtype); wyl = wy[..., None].astype(img.dtype)
         top = v0[..., 0, :] * (1 - wxl) + v0[..., 1, :] * wxl
         bot = v1[..., 0, :] * (1 - wxl) + v1[..., 1, :] * wxl

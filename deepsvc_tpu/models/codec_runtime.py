@@ -144,9 +144,14 @@ class CodecRuntime:
         import time as _time
 
         t0 = _time.perf_counter()
-        # one batched device->host pull (int16 syms / uint8 idx)
-        z_sym, y_sym, y_idx = jax.device_get(
-            (out["z_sym"], out["y_sym"], out["y_idx"])
+        # overlap the three device->host transfers (the relay round trip
+        # dominates; serial pulls would pay it three times)
+        for k in ("z_sym", "y_sym", "y_idx"):
+            out[k].copy_to_host_async()
+        z_sym, y_sym, y_idx = (
+            np.asarray(out["z_sym"]),
+            np.asarray(out["y_sym"]),
+            np.asarray(out["y_idx"]),
         )
         t1 = _time.perf_counter()
 
@@ -227,6 +232,14 @@ class _DecodeJob:
 
         self._dec = RansDecoder()
         self._dec.set_stream(bs.y_string)
+
+    def prefetch(self):
+        """Start the idx device->host transfer without blocking.
+
+        Call on BOTH interleaved jobs before advancing either so the two
+        relay round trips overlap instead of serializing."""
+        if not self.done:
+            self._idx.copy_to_host_async()
 
     def advance(self) -> bool:
         """One host round: pull idx (blocks on the queued device step),

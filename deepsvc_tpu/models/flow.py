@@ -24,15 +24,18 @@ Dtype = Any
 
 class MEBasic(nn.Module):
     """One pyramid level: 5x conv7 (8->32->64->32->16->2), ReLU between
-    (modules.py:123-139)."""
+    (modules.py:123-139).
+
+    packed: 7x7 convs via the exact h2 lowering (layers.Conv)."""
 
     dtype: Dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         for feat in (32, 64, 32, 16):
-            x = nn.relu(Conv(feat, 7, 1, dtype=self.dtype)(x))
-        return Conv(2, 7, 1, dtype=self.dtype)(x)
+            x = nn.relu(Conv(feat, 7, 1, dtype=self.dtype, packed=self.packed)(x))
+        return Conv(2, 7, 1, dtype=self.dtype, packed=self.packed)(x)
 
 
 class MESpynet(nn.Module):
@@ -41,6 +44,7 @@ class MESpynet(nn.Module):
 
     levels: int = 4
     dtype: Dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, im1, im2):
@@ -56,5 +60,5 @@ class MESpynet(nn.Module):
             flow_up = bilinear_up2(flow) * 2.0
             i = self.levels - 1 - level
             inp = jnp.concatenate([pyr1[i], warp(pyr2[i], flow_up), flow_up], axis=-1)
-            flow = flow_up + MEBasic(dtype=self.dtype)(inp)
+            flow = flow_up + MEBasic(dtype=self.dtype, packed=self.packed)(inp)
         return flow

@@ -49,32 +49,34 @@ class InterLayerPrediction(nn.Module):
     up_out: int = 32
     out_ch: int = 3
     dtype: Dtype = jnp.float32
+    packed: bool = False  # convs via the exact h2 lowering (layers.Conv)
 
     def setup(self):
         dt = self.dtype
-        self.in_conv = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt),
-                                      ResBlock(self.hidden, dtype=dt)])
-        self.in_conv1 = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt),
-                                       ResBlock(self.hidden, dtype=dt)])
-        self.d2s_conv = Conv(64, 3, 1, dtype=dt)
-        self.fea_convert = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt),
-                                          ResBlock(self.hidden, dtype=dt)])
+        pk = self.packed
+        self.in_conv = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt, packed=pk),
+                                      ResBlock(self.hidden, dtype=dt, packed=pk)])
+        self.in_conv1 = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt, packed=pk),
+                                       ResBlock(self.hidden, dtype=dt, packed=pk)])
+        self.d2s_conv = Conv(64, 3, 1, dtype=dt, packed=pk)
+        self.fea_convert = nn.Sequential([Conv(self.hidden, 3, 1, dtype=dt, packed=pk),
+                                          ResBlock(self.hidden, dtype=dt, packed=pk)])
         self.fea_embd = nn.Sequential([
-            Conv(self.hidden, 3, 1, dtype=dt),
-            ResBlock(self.hidden, dtype=dt),
-            ResBlock(self.hidden, start_from_relu=False, dtype=dt),
+            Conv(self.hidden, 3, 1, dtype=dt, packed=pk),
+            ResBlock(self.hidden, dtype=dt, packed=pk),
+            ResBlock(self.hidden, start_from_relu=False, dtype=dt, packed=pk),
         ])
         self.fea_ext = nn.Sequential([
-            Conv(self.hidden, 3, 1, dtype=dt),
-            ResBlock(self.hidden, dtype=dt),
-            ResBlock(self.hidden, dtype=dt),
-            Conv(self.up_out, 3, 1, dtype=dt),
+            Conv(self.hidden, 3, 1, dtype=dt, packed=pk),
+            ResBlock(self.hidden, dtype=dt, packed=pk),
+            ResBlock(self.hidden, dtype=dt, packed=pk),
+            Conv(self.up_out, 3, 1, dtype=dt, packed=pk),
         ])
-        self.out_conv = Conv(self.out_ch, 3, 1, dtype=dt)
+        self.out_conv = Conv(self.out_ch, 3, 1, dtype=dt, packed=pk)
         self.weight = nn.Sequential([
-            Conv(self.hidden, 3, 1, dtype=dt),
-            ResBlock(self.hidden, dtype=dt),
-            Conv(3, 3, 1, dtype=dt),
+            Conv(self.hidden, 3, 1, dtype=dt, packed=pk),
+            ResBlock(self.hidden, dtype=dt, packed=pk),
+            Conv(3, 3, 1, dtype=dt, packed=pk),
             nn.sigmoid,
         ])
 
@@ -99,20 +101,22 @@ class PFrameCodec(nn.Module):
     res_latent: int = 96
     feature_channels: int = 64
     dtype: Dtype = jnp.float32
+    packed: bool = True  # exact h2 conv lowering for the transform stacks
 
     def setup(self):
         dt = self.dtype
         nf = self.feature_channels
-        self.optic_flow = MESpynet(dtype=dt)
+        pk = self.packed
+        self.optic_flow = MESpynet(dtype=dt, packed=pk)
         self.mv_codec = ConditionalCodec(in_ch=8, N=self.mv_latent, out_ch=2, dtype=dt)
         self.res_codec = ConditionalCodec(
             in_ch=nf + 6, N=self.res_latent, out_ch=nf, dtype=dt
         )
-        self.mc = InterLayerPrediction(dtype=dt)
-        self.refine_mv = RefineNet(hidden=64, out_ch=2, dtype=dt)
-        self.refine_res = RefineNet(hidden=64, out_ch=nf, dtype=dt)
-        self.feature_extractor = FeatureExtraction(nf, dtype=dt)
-        self.enhance = Reconstruction(channels=64, out_ch=3, dtype=dt)
+        self.mc = InterLayerPrediction(dtype=dt, packed=pk)
+        self.refine_mv = RefineNet(hidden=64, out_ch=2, dtype=dt, packed=pk)
+        self.refine_res = RefineNet(hidden=64, out_ch=nf, dtype=dt, packed=pk)
+        self.feature_extractor = FeatureExtraction(nf, dtype=dt, packed=pk)
+        self.enhance = Reconstruction(channels=64, out_ch=3, dtype=dt, packed=pk)
 
     # ------------------------- jittable stages -------------------------
 
@@ -224,7 +228,7 @@ def init_pframe_variables(module: PFrameCodec, rng, H=64, W=64, batch=1):
     v_feat = module.init({"params": rng}, ref, curr, sm, feat,
                          rng=jax.random.PRNGKey(0))
 
-    mc = InterLayerPrediction(dtype=module.dtype)
+    mc = InterLayerPrediction(dtype=module.dtype, packed=module.packed)
     mv = jnp.zeros((batch, H, W, 2))
     v_mc = mc.init(
         {"params": jax.random.fold_in(rng, 1)}, ref, ref, mv, sm, None
