@@ -33,6 +33,15 @@ class MEBasic(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        pk = self.packed and x.shape[2] % 2 == 0
+        if pk:
+            # whole level in the (W/2, 2C) packed view: one reshape pair
+            B, H, W, C = x.shape
+            x = x.reshape(B, H, W // 2, 2 * C)
+            for feat in (32, 64, 32, 16):
+                x = nn.relu(Conv(feat, 7, 1, dtype=self.dtype, packed_io=True)(x))
+            x = Conv(2, 7, 1, dtype=self.dtype, packed_io=True)(x)
+            return x.reshape(B, H, W, 2)
         for feat in (32, 64, 32, 16):
             x = nn.relu(Conv(feat, 7, 1, dtype=self.dtype, packed=self.packed)(x))
         return Conv(2, 7, 1, dtype=self.dtype, packed=self.packed)(x)

@@ -28,6 +28,17 @@ def leaky_relu(x, slope: float = 0.01):
     return nn.leaky_relu(x, negative_slope=slope)
 
 
+def _pack_w(x):
+    """(B,H,W,C) -> (B,H,W/2,2C) packed view (free reshape)."""
+    B, H, W, C = x.shape
+    return x.reshape(B, H, W // 2, 2 * C)
+
+
+def _unpack_w(x, features):
+    B, H, w2, _ = x.shape
+    return x.reshape(B, H, w2 * 2, features)
+
+
 class Conv(nn.Module):
     """Conv2d with torch-style symmetric padding k//2 (compressai `conv`).
 
@@ -46,10 +57,11 @@ class Conv(nn.Module):
     stride: int = 2
     dtype: Dtype = jnp.float32
     packed: bool = False
+    packed_io: bool = False  # input/output already in the (W/2, 2C) view
 
     @nn.compact
     def __call__(self, x):
-        cin = x.shape[-1]
+        cin = x.shape[-1] // 2 if self.packed_io else x.shape[-1]
         kern = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
@@ -57,6 +69,11 @@ class Conv(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.packed_io:
+            from ..ops.packed import conv_h2
+
+            assert self.stride == 1 and self.kernel % 2 == 1
+            return conv_h2(x, kern, bias, dtype=self.dtype, packed_io=True)
         if (
             self.packed
             and x.shape[2] % 2 == 0
@@ -78,23 +95,48 @@ class Conv(nn.Module):
 
 
 class Deconv(nn.Module):
-    """Stride-2 transpose conv, output = input*stride (compressai `deconv`)."""
+    """Stride-2 transpose conv, output = input*stride (compressai `deconv`).
+
+    phase_decomposed=True computes the IDENTICAL function as a regular
+    conv emitting all stride^2 output phases as channels followed by a
+    depth-to-space — profiling shows the native ConvTranspose lowering
+    is HBM-bound on TPU (small-C full-res outputs pad their lane dim
+    ~64x); the phase form writes stride^2-wider channels at the input
+    resolution instead.  The parameter tree matches nn.ConvTranspose
+    ({kernel (k,k,Cin,Cout), bias}).
+    """
 
     features: int
     kernel: int = 5
     stride: int = 2
     dtype: Dtype = jnp.float32
+    phase_decomposed: bool = True
 
     @nn.compact
     def __call__(self, x):
-        return nn.ConvTranspose(
-            self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
-            dtype=self.dtype,
-            param_dtype=jnp.float32,
-        )(x)
+        cin = x.shape[-1]
+        kern = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (self.kernel, self.kernel, cin, self.features),
+            jnp.float32,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if not self.phase_decomposed:
+            p = jax.lax.conv_transpose(
+                x.astype(self.dtype),
+                kern.astype(self.dtype),
+                (self.stride, self.stride),
+                "SAME",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            return p + bias.astype(self.dtype)
+
+        from ..ops.packed import deconv_phase
+
+        return deconv_phase(
+            x, kern, bias, stride=self.stride, dtype=self.dtype
+        )
 
 
 class SubpelConv(nn.Module):
@@ -128,11 +170,22 @@ class ResBottleneckBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         act = (lambda v: nn.relu(v)) if self.slope < 1e-4 else (lambda v: leaky_relu(v, self.slope))
-        out = Conv(self.channels, 1, 1, dtype=self.dtype, packed=self.packed)(x)
+        pk = self.packed and x.shape[2] % 2 == 0
+        if pk:
+            # whole block (convs + activations + residual add) in the
+            # packed view: one reshape pair per block, adds stay fused
+            xp = _pack_w(x)
+            out = Conv(self.channels, 1, 1, dtype=self.dtype, packed_io=True)(xp)
+            out = act(out)
+            out = Conv(self.channels, 3, 1, dtype=self.dtype, packed_io=True)(out)
+            out = act(out)
+            out = Conv(self.channels, 1, 1, dtype=self.dtype, packed_io=True)(out)
+            return _unpack_w(xp + out, self.channels)
+        out = Conv(self.channels, 1, 1, dtype=self.dtype)(x)
         out = act(out)
-        out = Conv(self.channels, 3, 1, dtype=self.dtype, packed=self.packed)(out)
+        out = Conv(self.channels, 3, 1, dtype=self.dtype)(out)
         out = act(out)
-        out = Conv(self.channels, 1, 1, dtype=self.dtype, packed=self.packed)(out)
+        out = Conv(self.channels, 1, 1, dtype=self.dtype)(out)
         return x + out
 
 
@@ -151,10 +204,20 @@ class ResBlock(nn.Module):
     def __call__(self, x):
         act = (lambda v: nn.relu(v)) if self.slope < 1e-4 else (lambda v: leaky_relu(v, self.slope))
         mid = self.channels // 2 if self.bottleneck else self.channels
+        pk = self.packed and x.shape[2] % 2 == 0
+        if pk:
+            xp = _pack_w(x)
+            out = act(xp) if self.start_from_relu else xp
+            out = Conv(mid, 3, 1, dtype=self.dtype, packed_io=True)(out)
+            out = act(out)
+            out = Conv(self.channels, 3, 1, dtype=self.dtype, packed_io=True)(out)
+            if self.end_with_relu:
+                out = act(out)
+            return _unpack_w(xp + out, self.channels)
         out = act(x) if self.start_from_relu else x
-        out = Conv(mid, 3, 1, dtype=self.dtype, packed=self.packed)(out)
+        out = Conv(mid, 3, 1, dtype=self.dtype)(out)
         out = act(out)
-        out = Conv(self.channels, 3, 1, dtype=self.dtype, packed=self.packed)(out)
+        out = Conv(self.channels, 3, 1, dtype=self.dtype)(out)
         if self.end_with_relu:
             out = act(out)
         return x + out
@@ -166,16 +229,23 @@ class SELayer(nn.Module):
     channels: int
     reduction: int = 16
     dtype: Dtype = jnp.float32
+    packed_io: bool = False  # x is the (W/2, 2C) packed view
 
     @nn.compact
     def __call__(self, x):
-        y = x.mean(axis=(1, 2))  # (B, C)
+        if self.packed_io:
+            B, h, w2, _ = x.shape
+            y = x.reshape(B, h, w2, 2, self.channels).mean(axis=(1, 2, 3))
+        else:
+            y = x.mean(axis=(1, 2))  # (B, C)
         y = nn.Dense(self.channels // self.reduction, use_bias=False,
                      dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = nn.relu(y)
         y = nn.Dense(self.channels, use_bias=False,
                      dtype=self.dtype, param_dtype=jnp.float32)(y)
         y = nn.sigmoid(y)
+        if self.packed_io:
+            y = jnp.tile(y, (1, 2))
         return x * y[:, None, None, :]
 
 
@@ -189,12 +259,22 @@ class ConvBlockResidual(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        h = Conv(self.features, 3, 1, dtype=self.dtype, packed=self.packed)(x)
+        pk = self.packed and x.shape[2] % 2 == 0
+        if pk:
+            xp = _pack_w(x)
+            h = Conv(self.features, 3, 1, dtype=self.dtype, packed_io=True)(xp)
+            h = leaky_relu(h, 0.01)
+            h = Conv(self.features, 3, 1, dtype=self.dtype, packed_io=True)(h)
+            if self.se_layer:
+                h = SELayer(self.features, dtype=self.dtype, packed_io=True)(h)
+            s = Conv(self.features, 1, 1, dtype=self.dtype, packed_io=True)(xp)
+            return _unpack_w(s + h, self.features)
+        h = Conv(self.features, 3, 1, dtype=self.dtype)(x)
         h = leaky_relu(h, 0.01)
-        h = Conv(self.features, 3, 1, dtype=self.dtype, packed=self.packed)(h)
+        h = Conv(self.features, 3, 1, dtype=self.dtype)(h)
         if self.se_layer:
             h = SELayer(self.features, dtype=self.dtype)(h)
-        s = Conv(self.features, 1, 1, dtype=self.dtype, packed=self.packed)(x)
+        s = Conv(self.features, 1, 1, dtype=self.dtype)(x)
         return s + h
 
 

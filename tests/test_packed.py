@@ -164,3 +164,34 @@ class TestPackedBlocks:
         fp, rp = mod_p.apply(v, x)
         assert_close(fu, fp, tol=5e-4)
         assert_close(ru, rp, tol=1e-3)
+
+
+class TestDeconvPhase:
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_matches_conv_transpose(self, rng, k):
+        from deepsvc_tpu.ops.packed import deconv_phase
+
+        for H, W, C, O in [(8, 12, 6, 10), (7, 9, 4, 4)]:
+            x = jnp.asarray(rng.standard_normal((2, H, W, C)).astype(np.float32))
+            K = jnp.asarray(
+                rng.standard_normal((k, k, C, O)).astype(np.float32)
+            ) * 0.2
+            b = jnp.asarray(rng.standard_normal((O,)).astype(np.float32))
+            ref = jax.lax.conv_transpose(
+                x, K, (2, 2), "SAME", dimension_numbers=("NHWC", "HWIO", "NHWC")
+            ) + b
+            got = deconv_phase(x, K, b)
+            np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                       rtol=1e-4, atol=1e-4)
+
+    def test_deconv_module_phase_vs_native(self, rng):
+        from deepsvc_tpu.models.layers import Deconv
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 10, 6)).astype(np.float32))
+        mod_p = Deconv(12, 5, 2)
+        mod_n = Deconv(12, 5, 2, phase_decomposed=False)
+        v = mod_p.init(jax.random.PRNGKey(0), x)
+        np.testing.assert_allclose(
+            np.asarray(mod_p.apply(v, x)), np.asarray(mod_n.apply(v, x)),
+            rtol=1e-4, atol=1e-4,
+        )
