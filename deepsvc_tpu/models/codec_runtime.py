@@ -144,15 +144,18 @@ class CodecRuntime:
         import time as _time
 
         t0 = _time.perf_counter()
-        # overlap the three device->host transfers (the relay round trip
-        # dominates; serial pulls would pay it three times)
-        for k in ("z_sym", "y_sym", "y_idx"):
-            out[k].copy_to_host_async()
-        z_sym, y_sym, y_idx = (
-            np.asarray(out["z_sym"]),
-            np.asarray(out["y_sym"]),
-            np.asarray(out["y_idx"]),
-        )
+        # two overlapped pulls: tiny z_sym + the packed y buffer
+        # ([y_sym int8 | y_idx u8 | ovf u32], one transfer instead of 3)
+        out["z_sym"].copy_to_host_async()
+        out["y_packed"].copy_to_host_async()
+        z_sym = np.asarray(out["z_sym"])
+        buf = np.asarray(out["y_packed"])
+        n = (buf.size - 4) // 2
+        y_idx = buf[n : 2 * n]
+        if int(buf[2 * n :].view(np.int32)[0]) == 0:
+            y_sym = buf[:n].view(np.int8).astype(np.int16)
+        else:  # rare: some |symbol| > 127 — pull the exact int16 tensor
+            y_sym = np.asarray(out["y_sym"])
         t1 = _time.perf_counter()
 
         # hyper latent: one CDF row per channel
@@ -169,11 +172,12 @@ class CodecRuntime:
         }
 
         self._last_encode = out  # encoder-side reconstructions, reusable
+        # y spatial dims = 4x the hyper dims (h_a has two stride-2 convs)
         return Bitstream(
             y_string=y_string,
             z_string=z_string,
             z_shape=tuple(z_sym.shape[1:]),
-            y_shape=tuple(y_sym.shape[2:4]),
+            y_shape=(z_sym.shape[1] * 4, z_sym.shape[2] * 4),
         )
 
     def start_decompress(self, bs: Bitstream, cond=None, batch: int = 1) -> "_DecodeJob":

@@ -51,13 +51,14 @@ class ConvStack(nn.Module):
     spec: Sequence[tuple]
     act: str = "leaky_relu"  # "leaky_relu" | "gelu" | "relu"
     dtype: Dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
         n = len(self.spec)
         for i, (feat, k, s, mode) in enumerate(self.spec):
             if mode == "conv":
-                x = Conv(feat, k, s, dtype=self.dtype)(x)
+                x = Conv(feat, k, s, dtype=self.dtype, packed=self.packed)(x)
             elif mode == "deconv":
                 x = Deconv(feat, k, s, dtype=self.dtype)(x)
             elif mode == "subpel":
@@ -81,14 +82,16 @@ class AnalysisTransform(nn.Module):
     N: int
     M: int
     dtype: Dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
+        pk = self.packed
         for _ in range(3):
-            x = Conv(self.N, 5, 2, dtype=self.dtype)(x)
+            x = Conv(self.N, 5, 2, dtype=self.dtype, packed=pk)(x)
             for _ in range(3):
-                x = ResBottleneckBlock(self.N, dtype=self.dtype)(x)
-        return Conv(self.M, 5, 2, dtype=self.dtype)(x)
+                x = ResBottleneckBlock(self.N, dtype=self.dtype, packed=pk)(x)
+        return Conv(self.M, 5, 2, dtype=self.dtype, packed=pk)(x)
 
 
 class SynthesisTransform(nn.Module):
@@ -97,13 +100,15 @@ class SynthesisTransform(nn.Module):
     N: int
     out_ch: int
     dtype: Dtype = jnp.float32
+    packed: bool = False
 
     @nn.compact
     def __call__(self, x):
+        pk = self.packed
         for _ in range(3):
             x = Deconv(self.N, 5, 2, dtype=self.dtype)(x)
             for _ in range(3):
-                x = ResBottleneckBlock(self.N, dtype=self.dtype)(x)
+                x = ResBottleneckBlock(self.N, dtype=self.dtype, packed=pk)(x)
         return Deconv(self.out_ch, 5, 2, dtype=self.dtype)(x)
 
 
@@ -250,10 +255,24 @@ class ChannelARBase(nn.Module):
             idxs.append(idx)
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        y_sym = jnp.stack(syms)
+        # One device->host pull: [y_sym int8 | y_idx u8 | overflow u32].
+        # The relay pays ~20-35ms latency PER transfer, so everything
+        # rides one flat u8 buffer (self-describing: n = (len-4)/2);
+        # int8 also halves the symbol bytes.  Out-of-int8 symbols are
+        # vanishingly rare — the count makes the host pull the int16
+        # tensor only in that case.
+        y_sym8 = jnp.clip(y_sym, -128, 127).astype(jnp.int8)
+        y_ovf = (y_sym8.astype(jnp.int16) != y_sym).sum().astype(jnp.int32)
+        packed = jnp.concatenate([
+            jax.lax.bitcast_convert_type(y_sym8.reshape(-1), jnp.uint8),
+            jnp.stack(idxs).reshape(-1),
+            jax.lax.bitcast_convert_type(y_ovf[None], jnp.uint8).reshape(-1),
+        ])
         out = {
             "z_sym": z_sym,
-            "y_sym": jnp.stack(syms),
-            "y_idx": jnp.stack(idxs),
+            "y_sym": y_sym.reshape(-1),
+            "y_packed": packed,
             "y_hat": y_hat,
         }
         if with_xhat:
@@ -278,7 +297,9 @@ class ChannelARBase(nn.Module):
         scale_support = self._slice_support(latent_scales, slice_cond, y_hat_slices)
         mu = self.cc_mean[i](mean_support).astype(jnp.float32)
         scale = self.cc_scale[i](scale_support).astype(jnp.float32)
-        return mu, build_indexes(scale).astype(jnp.uint8)
+        # idx is pulled to the host every decode round: flatten so the
+        # transfer ships no tile padding
+        return mu, build_indexes(scale).astype(jnp.uint8).reshape(-1)
 
     def _recon_slice(self, latent_means, slice_cond, y_hat_slices, mu, sym, i):
         y_hat_slice = sym.astype(jnp.float32) + mu
@@ -322,7 +343,7 @@ class ChannelARBase(nn.Module):
                 )
                 mus.append(mu)
                 idxs.append(idx)
-            return y_hat_prev, jnp.stack(mus), jnp.stack(idxs)
+            return y_hat_prev, jnp.stack(mus), jnp.concatenate(idxs)
         mu, idx = self._params_for(latent_means, latent_scales, slice_cond, slices,
                                    slice_index)
         return y_hat_prev, mu, idx
@@ -369,6 +390,7 @@ class ImageCodec(ChannelARBase):
     num_slices: int = 10
     max_support_slices: int = 5
     dtype: Dtype = jnp.float32
+    packed: bool = True  # transform convs via the exact h2/s2 lowering
 
     @property
     def slice_depth(self):
@@ -380,8 +402,8 @@ class ImageCodec(ChannelARBase):
         d = self.slice_depth
         N, M, dt = self.N, self.M, self.dtype
 
-        self.g_a = AnalysisTransform(N, M, dtype=dt)
-        self.g_s = SynthesisTransform(N, 3, dtype=dt)
+        self.g_a = AnalysisTransform(N, M, dtype=dt, packed=self.packed)
+        self.g_s = SynthesisTransform(N, 3, dtype=dt, packed=self.packed)
         self.h_a = ConvStack(
             [(N, 3, 1, "conv"), (N, 5, 2, "conv"), (N, 5, 2, "conv")], "leaky_relu", dt
         )
@@ -409,6 +431,7 @@ class ConditionalCodec(ChannelARBase):
     num_slices: int = 8
     max_support_slices: int = 4
     dtype: Dtype = jnp.float32
+    packed: bool = True  # transform convs via the exact h2/s2 lowering
 
     @property
     def slice_depth(self):
@@ -420,8 +443,8 @@ class ConditionalCodec(ChannelARBase):
         d = self.slice_depth
         N, dt = self.N, self.dtype
 
-        self.g_a = AnalysisTransform(N, N, dtype=dt)
-        self.g_s = SynthesisTransform(N, self.out_ch, dtype=dt)
+        self.g_a = AnalysisTransform(N, N, dtype=dt, packed=self.packed)
+        self.g_s = SynthesisTransform(N, self.out_ch, dtype=dt, packed=self.packed)
         self.h_a = ConvStack(
             [(N, 3, 1, "conv"), (N, 3, 2, "conv"), (N, 3, 1, "conv"), (N, 3, 2, "conv")],
             "gelu", dt,

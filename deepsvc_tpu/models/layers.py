@@ -83,6 +83,15 @@ class Conv(nn.Module):
             from ..ops.packed import conv_h2
 
             return conv_h2(x, kern, bias, dtype=self.dtype)
+        if (
+            self.packed
+            and x.shape[2] % 2 == 0
+            and self.kernel % 2 == 1
+            and self.stride == 2
+        ):
+            from ..ops.packed import conv_s2
+
+            return conv_s2(x, kern, bias, dtype=self.dtype)
         p = self.kernel // 2
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype),

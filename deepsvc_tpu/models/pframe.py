@@ -80,18 +80,24 @@ class InterLayerPrediction(nn.Module):
             nn.sigmoid,
         ])
 
-    def __call__(self, ref_frame, warped, mv, sm_fea, feature=None):
+    def embed(self, ref_frame, feature):
+        """The to-be-warped feature embedding (ref or recurrent branch)."""
         if feature is None:
-            fea = leaky_relu(self.in_conv(ref_frame), 0.01)
-        else:
-            fea = leaky_relu(self.in_conv1(feature), 0.01)
-        fea = warp(fea, mv)
+            return leaky_relu(self.in_conv(ref_frame), 0.01)
+        return leaky_relu(self.in_conv1(feature), 0.01)
+
+    def fuse(self, warped, mv, sm_fea, fea_warped):
+        """Post-warp fusion with the semantic feature."""
         curr = self.fea_convert(self.d2s_conv(pixel_shuffle(sm_fea, 4)))
-        fea3 = self.fea_embd(jnp.concatenate([fea, curr], axis=-1))
+        fea3 = self.fea_embd(jnp.concatenate([fea_warped, curr], axis=-1))
         up_out = self.fea_ext(fea3)
         w = self.weight(up_out)
         out = w * warped + (1.0 - w) * self.out_conv(up_out)
         return up_out, out
+
+    def __call__(self, ref_frame, warped, mv, sm_fea, feature=None):
+        fea = warp(self.embed(ref_frame, feature), mv)
+        return self.fuse(warped, mv, sm_fea, fea)
 
 
 class PFrameCodec(nn.Module):
@@ -126,10 +132,18 @@ class PFrameCodec(nn.Module):
         return jnp.concatenate([curr, mv, ref], axis=-1)
 
     def mc_stage(self, ref, recon_mv1, sm_fea, feature=None):
-        """MV refine -> warp -> inter-layer MC (video_model.py:34-45)."""
+        """MV refine -> warp -> inter-layer MC (video_model.py:34-45).
+
+        The frame warp and the MC feature warp share one gather (warp is
+        per-channel, so warping the channel-concat is exact; gather cost
+        on TPU is per-row, making one 67ch warp cheaper than 3ch + 64ch).
+        """
         recon_mv = self.refine_mv(recon_mv1, ref)
-        warped = warp(ref, recon_mv)
-        warp_fea, predict_frame = self.mc(ref, warped, recon_mv, sm_fea, feature)
+        fea = self.mc.embed(ref, feature)
+        joint = warp(jnp.concatenate([ref, fea], axis=-1), recon_mv)
+        warped = joint[..., :3]
+        warp_fea, predict_frame = self.mc.fuse(warped, recon_mv, sm_fea,
+                                               joint[..., 3:])
         predict_fea = self.feature_extractor(predict_frame)
         return {
             "recon_mv": recon_mv,

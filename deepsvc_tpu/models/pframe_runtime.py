@@ -73,9 +73,9 @@ class PFrameRuntime:
         mc = self._mc(v, ref, mv_enc["x_hat"], sm_fea, feature)
         res_in = self._res_in(v, ref, curr, mc["predict_frame"], mc["predict_fea"])
         res_enc = self.res_rt.start_compress(res_in)
-        # overlap all six device->host symbol/index transfers
+        # overlap all device->host symbol/index transfers
         for enc in (mv_enc, res_enc):
-            for k in ("z_sym", "y_sym", "y_idx"):
+            for k in ("z_sym", "y_packed"):
                 enc[k].copy_to_host_async()
         mv_bs = self.mv_rt.finish_compress(mv_enc)
         res_bs = self.res_rt.finish_compress(res_enc)

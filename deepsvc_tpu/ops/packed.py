@@ -271,6 +271,52 @@ def deconv_phase(x, K, bias=None, *, stride: int = 2, dtype=None):
     return depth_to_space(out, stride)
 
 
+@functools.lru_cache(maxsize=None)
+def _h2_s2_map(k: int):
+    """Constant 0/1 map for a stride-2-in-x conv consumed from the h2
+    view: only output phase dx=0 exists.  Returns (M[pkx, ex, kx],
+    pad_lo, pad_hi) with pad_lo + pad_hi == pkx - 1 (same-size output)."""
+    c = k // 2
+    los = min(sx // 2 for sx in range(-c, c + 1))
+    his = max(sx // 2 for sx in range(-c, c + 1))
+    pkx = his - los + 1
+    M = np.zeros((pkx, 2, k), np.float32)
+    for kx in range(k):
+        sx = kx - c
+        M[sx // 2 - los, sx % 2, kx] = 1.0
+    return M, -los, his
+
+
+def conv_s2(x, K, bias=None, *, dtype=None):
+    """EXACT stride-2 conv computed from the (W/2, 2C) packed view.
+
+    Output is the ordinary strided-conv output (H/2, W/2, O) — x-stride
+    2 means only packed phase dx=0 is emitted, so there is NO FLOP
+    inflation in x (k taps -> ceil((k+1)/2) packed taps on 2C channels)
+    while input lane utilization doubles.
+    """
+    B, H, W, C = x.shape
+    k = K.shape[0]
+    O = K.shape[3]
+    dt = dtype or x.dtype
+    My, plo, phi = _h2_s2_map(k)
+    M = jnp.asarray(My, dt)
+    pkx = M.shape[0]
+    # (pkx,e,kx) x (ky,kx,c,o) -> (ky, pkx, e*C+c, o)
+    Kp = jnp.einsum("pex,yxco->ypeco", M, K.astype(dt)).reshape(k, pkx, 2 * C, O)
+    xp = x.astype(dt).reshape(B, H, W // 2, 2 * C)
+    out = lax.conv_general_dilated(
+        xp,
+        Kp,
+        (2, 1),
+        [(k // 2, k // 2), (plo, phi)],
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    if bias is not None:
+        out = out + bias.astype(dt)
+    return out
+
+
 def packed_group_reduce(xp: jnp.ndarray, op: str = "max", b: int = 2) -> jnp.ndarray:
     """b x b stride-b spatial pooling of the TRUE tensor, computed as a
     channel-phase reduction on the packed tensor.  Returns the UNPACKED

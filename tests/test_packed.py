@@ -195,3 +195,17 @@ class TestDeconvPhase:
             np.asarray(mod_p.apply(v, x)), np.asarray(mod_n.apply(v, x)),
             rtol=1e-4, atol=1e-4,
         )
+
+
+class TestConvS2:
+    @pytest.mark.parametrize("k", [3, 5])
+    def test_matches_strided_conv(self, rng, k):
+        for H, W, C, O in [(16, 24, 6, 12), (14, 18, 8, 8), (15, 20, 4, 6)]:
+            x = x_of(rng, C, h=H, w=W)
+            mod_u = Conv(O, k, 2)
+            mod_p = Conv(O, k, 2, packed=True)
+            v = mod_u.init(jax.random.PRNGKey(0), x)
+            np.testing.assert_allclose(
+                np.asarray(mod_p.apply(v, x)), np.asarray(mod_u.apply(v, x)),
+                rtol=1e-4, atol=1e-4,
+            )
