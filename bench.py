@@ -72,6 +72,31 @@ def main():
         times.append(time.perf_counter() - t0)
 
     fps = 1.0 / float(np.median(times))
+
+    # ---- I-frame leg: full-size ICIP2020ResB codec (N=192, M=320, 10
+    # slices) per the reference protocol (test_video.py:296-334 times
+    # I-frame compress/decompress every GOP) ----
+    from deepsvc_tpu.models import CodecRuntime, ImageCodec
+
+    i_model = ImageCodec(dtype=jnp.bfloat16)  # full size
+    i_vars = i_model.init({"params": jax.random.PRNGKey(0)},
+                          jnp.zeros((1, 128, 128, 3)),
+                          rng=jax.random.PRNGKey(1))
+    i_rt = CodecRuntime(i_model, i_vars, encoder_xhat=False)
+    x_i = ref  # the 1080p frame
+    i_enc_t, i_dec_t, i_bpp = [], [], 0.0
+    for it in range(3):
+        t0 = time.perf_counter()
+        bs = i_rt.compress(x_i)
+        t1 = time.perf_counter()
+        dec = i_rt.decompress(bs)
+        np.asarray(dec["x_hat"].ravel()[0])
+        t2 = time.perf_counter()
+        if it:  # skip the compile iteration
+            i_enc_t.append(t1 - t0)
+            i_dec_t.append(t2 - t1)
+        i_bpp = bs.num_bytes * 8.0 / (H * W)
+
     print(
         json.dumps(
             {
@@ -79,6 +104,9 @@ def main():
                 "value": round(fps, 4),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / REFERENCE_FPS, 4),
+                "i_enc_s": round(float(np.median(i_enc_t)), 4),
+                "i_dec_s": round(float(np.median(i_dec_t)), 4),
+                "i_bpp": round(i_bpp, 4),
             }
         )
     )

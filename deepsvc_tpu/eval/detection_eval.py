@@ -49,6 +49,7 @@ class VideoDetectionEvaluator:
         sm_codec_runtime: CodecRuntime,   # SemanticFeatureCodec runtime
         gop: int = 12,
         memo_len: int = 3,
+        multi_supp: bool = True,  # SemanticConfig.multi_supp
     ):
         self.detector = detector
         self.variables = variables
@@ -56,6 +57,7 @@ class VideoDetectionEvaluator:
         self.sm_rt = sm_codec_runtime
         self.gop = gop
         self.memo_len = memo_len
+        self.multi_supp = multi_supp
         self.norm = Normalizer()
 
         mt = type(detector)
@@ -111,10 +113,15 @@ class VideoDetectionEvaluator:
                 memo = jnp.repeat(fmap, self.memo_len, axis=0)
                 is_i = True
             else:
+                from ..core.factory import select_support
+
                 x_n = self.norm(x * 255.0)
                 sm_bs = self.sm_rt.compress(x_n, cond=supp[-1])
                 dec = self.sm_rt.decompress(sm_bs, cond=supp[-1])
-                out = self._student_post(self.variables, dec["x_hat"], supp)
+                out = self._student_post(
+                    self.variables, dec["x_hat"],
+                    select_support(supp, self.multi_supp),
+                )
                 supp = jnp.concatenate([supp[1:], out["sm"][None]], axis=0)
                 fmap = out["fmap"]
                 memo = jnp.concatenate([memo[1:], fmap], axis=0)
@@ -147,3 +154,89 @@ class VideoDetectionEvaluator:
             "ipsnr": float(np.mean(ipsnr_acc)) if ipsnr_acc else 0.0,
         }
         return results, stats
+
+
+# ---------------------------------------------------------------------------
+# VID mAP (the reference's accuracy metric, computed externally by
+# mmtracking tools/test.py + VOC-style AP; temporal_roi_align.py:626-635
+# only returns the raw detections)
+# ---------------------------------------------------------------------------
+
+
+def _iou_matrix(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """(M,4) x (N,4) xyxy -> (M,N) IoU."""
+    if len(a) == 0 or len(b) == 0:
+        return np.zeros((len(a), len(b)), np.float32)
+    tl = np.maximum(a[:, None, :2], b[None, :, :2])
+    br = np.minimum(a[:, None, 2:], b[None, :, 2:])
+    wh = np.clip(br - tl, 0, None)
+    inter = wh[..., 0] * wh[..., 1]
+    area_a = (a[:, 2] - a[:, 0]) * (a[:, 3] - a[:, 1])
+    area_b = (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1])
+    union = area_a[:, None] + area_b[None, :] - inter
+    return (inter / np.maximum(union, 1e-9)).astype(np.float32)
+
+
+def average_precision(recall: np.ndarray, precision: np.ndarray) -> float:
+    """Area-mode AP (the mmdet eval_map default): integral of the
+    precision envelope over recall."""
+    mrec = np.concatenate([[0.0], recall, [1.0]])
+    mpre = np.concatenate([[0.0], precision, [0.0]])
+    for i in range(len(mpre) - 2, -1, -1):
+        mpre[i] = max(mpre[i], mpre[i + 1])
+    idx = np.where(mrec[1:] != mrec[:-1])[0]
+    return float(np.sum((mrec[idx + 1] - mrec[idx]) * mpre[idx + 1]))
+
+
+def vid_map(
+    detections: list,
+    annotations: list[dict],
+    num_classes: int = 30,
+    iou_thr: float = 0.5,
+) -> dict:
+    """mAP@iou_thr over a sequence (or dataset).
+
+    detections: list of DetectionResult (or any obj with .boxes/.scores/
+    .labels) aligned 1:1 with ``annotations`` (dicts with "boxes" (G,4)
+    and "labels" (G,)).  Returns {"mAP": float, "ap_per_class": {cls: ap}}
+    following the standard VOC/mmdet greedy matching: detections sorted
+    by score, each greedily matched to the best unmatched GT of its
+    class with IoU >= thr.
+    """
+    assert len(detections) == len(annotations)
+    aps = {}
+    for cls in range(num_classes):
+        scores, matched = [], []
+        n_gt = 0
+        for det, ann in zip(detections, annotations):
+            gt_mask = np.asarray(ann["labels"]) == cls
+            gt_boxes = np.asarray(ann["boxes"], np.float32).reshape(-1, 4)[gt_mask]
+            n_gt += len(gt_boxes)
+            d_mask = np.asarray(det.labels) == cls
+            d_boxes = np.asarray(det.boxes, np.float32).reshape(-1, 4)[d_mask]
+            d_scores = np.asarray(det.scores, np.float32)[d_mask]
+            order = np.argsort(-d_scores)
+            iou = _iou_matrix(d_boxes[order], gt_boxes)
+            taken = np.zeros(len(gt_boxes), bool)
+            for i in range(len(order)):
+                scores.append(d_scores[order][i])
+                j = int(np.argmax(iou[i])) if len(gt_boxes) else -1
+                if j >= 0 and iou[i, j] >= iou_thr and not taken[j]:
+                    taken[j] = True
+                    matched.append(True)
+                else:
+                    matched.append(False)
+        if n_gt == 0:
+            continue  # class absent from GT: skip (VOC convention)
+        if not scores:
+            aps[cls] = 0.0
+            continue
+        order = np.argsort(-np.asarray(scores))
+        tp = np.asarray(matched)[order]
+        tp_cum = np.cumsum(tp)
+        fp_cum = np.cumsum(~tp)
+        recall = tp_cum / n_gt
+        precision = tp_cum / np.maximum(tp_cum + fp_cum, 1)
+        aps[cls] = average_precision(recall, precision)
+    mAP = float(np.mean(list(aps.values()))) if aps else 0.0
+    return {"mAP": mAP, "ap_per_class": aps}

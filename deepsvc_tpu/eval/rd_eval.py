@@ -56,6 +56,10 @@ class GOPEvaluator:
         teacher_apply=None,  # jitted fn(x_norm)->outs for I-frame support
         gop: int = 12,
         sm_channels: int = 256,
+        pad_multiple: int = 64,
+        multi_supp: bool = True,  # SemanticConfig.multi_supp (the reference
+        # reads SELSA.multi_supp without assigning it; True = aggregate over
+        # the full support FIFO, False = most recent support only)
     ):
         self.i_rt = i_runtime
         self.p_rt = p_runtime
@@ -63,6 +67,8 @@ class GOPEvaluator:
         self.teacher_apply = teacher_apply
         self.gop = gop
         self.sm_channels = sm_channels
+        self.pad_multiple = pad_multiple
+        self.multi_supp = multi_supp
         self.normalizer = Normalizer()
 
     def _zeros_sm(self, shape):
@@ -81,7 +87,7 @@ class GOPEvaluator:
             if i >= max_frames:
                 break
             x_org = jnp.asarray(frame)[None]
-            x = pad_to_multiple(x_org, 64)
+            x = pad_to_multiple(x_org, self.pad_multiple)
             num_pixels = org_h * org_w
 
             if i % self.gop == 0:
@@ -115,8 +121,12 @@ class GOPEvaluator:
             else:
                 sm_bpp = 0.0
                 if self.sm_rt is not None and supp is not None:
+                    from ..core.factory import select_support
+
                     x_n = self.normalizer(x * 255.0)
-                    outs, fea, sm_bs = self.sm_rt.encode_decode(x_n, supp)
+                    outs, fea, sm_bs = self.sm_rt.encode_decode(
+                        x_n, select_support(supp, self.multi_supp)
+                    )
                     sm_fea = outs[0]
                     supp = jnp.concatenate([supp[1:], sm_fea[None]], axis=0)
                     sm_bpp = sm_bs.num_bytes * 8.0 / num_pixels

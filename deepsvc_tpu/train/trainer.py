@@ -272,7 +272,7 @@ class PFrameTrainer:
             self.state, metrics = self._cascade_step_cache[key](
                 self.state, frames[:f], sms[:f]
             )
-            return {k: float(v) for k, v in metrics.items()}
+            return metrics  # device scalars; callers float() lazily
 
         ref = frames[0]
         feature = None
@@ -288,4 +288,7 @@ class PFrameTrainer:
             ref = recon
             feature = feature_new
             metrics = m
-        return {k: float(v) for k, v in metrics.items()}
+        # device scalars: converting here would cost one host round trip
+        # PER METRIC PER STEP (~35ms each through dev relays); callers
+        # float() only what they log, when they log it
+        return metrics

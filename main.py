@@ -11,10 +11,16 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import time
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# persistent compile cache: the staged trainer's jitted steps take
+# minutes to compile on TPU; without this every invocation recompiles
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
 
 def get_args():
@@ -43,7 +49,6 @@ def main():
     args = get_args()
     from deepsvc_tpu.core.config import TrainConfig
     from deepsvc_tpu.data import make_clip_batch, make_semantic_features
-    from deepsvc_tpu.models import PFrameCodec
     from deepsvc_tpu.train import PFrameTrainer
     from deepsvc_tpu.utils import AverageMeter, setup_logger
     from deepsvc_tpu.utils.checkpoint import CheckpointManager
@@ -64,7 +69,13 @@ def main():
     with open(os.path.join(run_dir, "setting.json"), "w") as f:
         json.dump({**vars(args), "config": cfg.to_dict()}, f, indent=2, default=str)
 
-    model = PFrameCodec(mv_latent=16, res_latent=16) if args.tiny else PFrameCodec()
+    from deepsvc_tpu.core.config import DeepSVCConfig
+    from deepsvc_tpu.core.factory import build_pframe_codec, tiny_config
+
+    tree = DeepSVCConfig(train=cfg)
+    if args.tiny:
+        tree = tiny_config(tree)
+    model = build_pframe_codec(tree)
     trainer = PFrameTrainer(cfg, model=model, init_shape=(args.crop, args.crop))
     ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
     if args.resume:
@@ -130,20 +141,32 @@ def main():
     def crossed(period: int, lo: int, hi: int) -> bool:
         return lo // period != hi // period
 
+    sms = None
     for batch in batches():
         frames = jnp.asarray(batch)
-        sms = jnp.zeros(
-            (frames.shape[0], frames.shape[1], args.crop // 4, args.crop // 4, 256),
-            jnp.float32,
-        )
+        if sms is None or sms.shape[:2] != frames.shape[:2]:
+            # constant zeros (no semantic layer in step 1); allocate once —
+            # re-uploading 20+ MB per step would dominate the step time
+            sms = jnp.zeros(
+                (frames.shape[0], frames.shape[1],
+                 args.crop // 4, args.crop // 4, 256),
+                jnp.float32,
+            )
+        t_step = time.perf_counter()
         metrics = trainer.train_batch(frames, sms)
-        meter.update(metrics["loss"])
+        meter.update(float(metrics["loss"]))
         step = int(trainer.state.step)
+        step_s = time.perf_counter() - t_step
         if crossed(100, prev_step, step):
-            logger.info(f"step {step} loss {meter.avg:.4f} {metrics}")
+            m_host = {k: float(v) for k, v in metrics.items()}
+            logger.info(
+                f"step {step} loss {meter.avg:.4f} ({step_s:.2f}s/it) {m_host}"
+            )
             meter.reset()
         if crossed(300, prev_step, step):  # reference cadence (Learner.py:203-212)
-            writer.add_scalars(metrics, step, prefix="train_")
+            writer.add_scalars(
+                {k: float(v) for k, v in metrics.items()}, step, prefix="train_"
+            )
         if crossed(args.val_every, prev_step, step):
             # held-out validation + best-loss checkpointing (Learner.py:491-493)
             val_frames = jnp.asarray(next(val_iter))

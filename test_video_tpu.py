@@ -41,24 +41,25 @@ def build_runtimes(args, lam):
     import jax
     import jax.numpy as jnp
 
+    from deepsvc_tpu.core.config import DeepSVCConfig
+    from deepsvc_tpu.core.factory import (
+        build_image_codec,
+        build_pframe_codec,
+        build_student,
+        build_teacher,
+        tiny_config,
+    )
     from deepsvc_tpu.models import (
         CodecRuntime,
-        ImageCodec,
-        PFrameCodec,
         PFrameRuntime,
-        ResNetTeacher,
-        StudentBackbone,
         init_pframe_variables,
     )
     from deepsvc_tpu.models.semantic_runtime import SemanticRuntime
 
     tiny = args.smoke
-    if tiny:
-        i_model = ImageCodec(N=32, M=40, num_slices=4, max_support_slices=2)
-        p_model = PFrameCodec(mv_latent=16, res_latent=16)
-    else:
-        i_model = ImageCodec()
-        p_model = PFrameCodec()
+    cfg = tiny_config() if tiny else DeepSVCConfig()
+    i_model = build_image_codec(cfg)
+    p_model = build_pframe_codec(cfg)
 
     x = jnp.zeros((1, 64, 64, 3))
     i_vars = i_model.init({"params": jax.random.PRNGKey(0)}, x, rng=jax.random.PRNGKey(1))
@@ -103,10 +104,9 @@ def build_runtimes(args, lam):
     if not args.no_semantic:
         # semantic layer: teacher + student, from checkpoints when present
         depth = 26 if tiny else 50
-        sem_N = 16 if tiny else 72
-        teacher = ResNetTeacher(depth=depth, out_indices=(0,))
+        teacher = build_teacher(cfg, depth=depth)
         t_vars = teacher.init(jax.random.PRNGKey(0), x)
-        student = StudentBackbone(N=sem_N, depth=depth, out_indices=(0,))
+        student = build_student(cfg, depth=depth)
         supp0 = jnp.zeros((2, 1, 16, 16, 256))
         s_vars = student.init(
             {"params": jax.random.PRNGKey(0)}, x, supp0, rng=jax.random.PRNGKey(1)
@@ -155,11 +155,16 @@ def main():
     out_dir = os.path.join(args.output, args.metric.upper(), args.dataset)
     os.makedirs(out_dir, exist_ok=True)
 
+    from deepsvc_tpu.core.config import DeepSVCConfig
+
+    cfg = DeepSVCConfig()
     per_lambda_outputs = []
     for lam in args.lambdas:
         i_rt, p_rt, sm_rt, teacher_apply = build_runtimes(args, lam)
         ev = GOPEvaluator(i_rt, p_rt, sm_runtime=sm_rt,
-                          teacher_apply=teacher_apply, gop=12)
+                          teacher_apply=teacher_apply, gop=cfg.eval.gop,
+                          pad_multiple=cfg.eval.pad_multiple,
+                          multi_supp=cfg.semantic.multi_supp)
 
         per_seq = {}
         if args.smoke:

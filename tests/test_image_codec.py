@@ -141,3 +141,28 @@ class TestConditionalCodec:
         np.testing.assert_array_equal(
             np.asarray(dec["y_hat"]), np.asarray(rt._last_encode["y_hat"])
         )
+
+
+@pytest.mark.slow
+class TestFullSizeICodec:
+    def test_fullsize_roundtrip_448x256(self, rng):
+        """The reference's full-size I-frame codec (ICIP2020ResB: N=192,
+        M=320, 10 slices / 5 support, image_model.py:331-619) end to end
+        with REAL bitstreams at a Vimeo-sized frame (VERDICT r1 item 3)."""
+        from deepsvc_tpu.models import CodecRuntime, ImageCodec
+
+        model = ImageCodec()  # N=192, M=320 defaults
+        x = jnp.asarray(rng.random((1, 256, 448, 3), dtype=np.float32))
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x,
+                               rng=jax.random.PRNGKey(1))
+        rt = CodecRuntime(model, variables)
+        bs = rt.compress(x)
+        assert bs.num_bytes > 0
+        dec = rt.decompress(bs)
+        assert dec["x_hat"].shape == x.shape
+        # encoder-side y_hat must match the decoder's bit-exactly (the
+        # bitstream round trip IS the correctness check)
+        np.testing.assert_array_equal(
+            np.asarray(rt._last_encode["y_hat"], np.float32),
+            np.asarray(dec["y_hat"], np.float32),
+        )
