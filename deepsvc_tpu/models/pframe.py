@@ -239,14 +239,18 @@ def init_pframe_variables(module: PFrameCodec, rng, H=64, W=64, batch=1):
     curr = jnp.zeros((batch, H, W, 3))
     sm = jnp.zeros((batch, H // 4, W // 4, 256))
     feat = jnp.zeros((batch, H, W, 64))
-    v_feat = module.init({"params": rng}, ref, curr, sm, feat,
-                         rng=jax.random.PRNGKey(0))
+    # jit the init: eager flax init dispatches every op separately, which
+    # costs minutes through a remote-TPU tunnel (~35ms/dispatch)
+    v_feat = jax.jit(
+        lambda r: module.init({"params": r}, ref, curr, sm, feat,
+                              rng=jax.random.PRNGKey(0))
+    )(rng)
 
     mc = InterLayerPrediction(dtype=module.dtype, packed=module.packed)
     mv = jnp.zeros((batch, H, W, 2))
-    v_mc = mc.init(
-        {"params": jax.random.fold_in(rng, 1)}, ref, ref, mv, sm, None
-    )
+    v_mc = jax.jit(
+        lambda r: mc.init({"params": r}, ref, ref, mv, sm, None)
+    )(jax.random.fold_in(rng, 1))
     merged = jax.tree_util.tree_map(lambda x: x, v_feat)  # shallow copy
     merged = dict(merged)
     params = dict(merged["params"])

@@ -40,12 +40,19 @@ class ImageCodecTrainer:
         self.model = model or ImageCodec()
         rng = jax.random.PRNGKey(cfg.seed)
         x = jnp.zeros((1,) + tuple(init_shape) + (3,))
-        self.variables = self.model.init(
-            {"params": rng}, x, rng=jax.random.PRNGKey(cfg.seed + 1)
-        )
+        # jitted init: one dispatch instead of per-op round trips
+        self.variables = jax.jit(
+            lambda r: self.model.init(
+                {"params": r}, x, rng=jax.random.PRNGKey(cfg.seed + 1)
+            )
+        )(rng)
         self.tx = make_optimizer(self.variables, cfg.lr, cfg.aux_lr, cfg.clip)
-        self.state = TrainState.create(self.variables, self.tx,
-                                       jax.random.PRNGKey(cfg.seed + 2))
+        jax.block_until_ready(self.variables)
+        self.state = jax.jit(
+            lambda v: TrainState.create(v, self.tx,
+                                        jax.random.PRNGKey(cfg.seed + 2))
+        )(self.variables)
+        jax.block_until_ready(self.state)
 
         @jax.jit
         def step(state: TrainState, batch):

@@ -108,7 +108,15 @@ class PFrameTrainer:
             clip=cfg.clip_grad,
             stage_steps=cfg.stage_steps,
         )
-        self.state = TrainState.create(self.variables, self.tx, jax.random.PRNGKey(cfg.seed + 1))
+        # jitted: tx.init allocates one zeros-buffer per param leaf; eager
+        # dispatch of ~hundreds of tiny ops costs minutes over a TPU tunnel.
+        # block first: chaining one jit's unmaterialized outputs into the
+        # next dispatch has been observed to deadlock the axon backend
+        jax.block_until_ready(self.variables)
+        self.state = jax.jit(
+            lambda v: TrainState.create(v, self.tx, jax.random.PRNGKey(cfg.seed + 1))
+        )(self.variables)
+        jax.block_until_ready(self.state)
         self.mesh = mesh
         self._frame_step_cache = {}
         self._cascade_step_cache = {}

@@ -38,6 +38,13 @@ def get_args():
     p.add_argument("--log-root", type=str, default="./output/train")
     p.add_argument("--steps", type=int, default=None, help="stop after N steps")
     p.add_argument("--val-every", type=int, default=5000)
+    p.add_argument("--ckpt-every", type=int, default=1000,
+                   help="forced periodic checkpoint cadence (reference saves "
+                        "every 5k past stage 3, Learner.py:155-156)")
+    p.add_argument("--stage-steps", type=str, default=None,
+                   help="comma-separated 5 stage boundaries, e.g. "
+                        "'400,600,800,1000,1200' to reach the cascade band "
+                        "quickly on short runs (default: reference schedule)")
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic clips (smoke/e2e testing)")
     p.add_argument("--tiny", action="store_true", help="tiny model config")
@@ -63,6 +70,10 @@ def main():
         metric=args.metric,
         crop=args.crop,
     )
+    if args.stage_steps:
+        bounds = tuple(int(v) for v in args.stage_steps.split(","))
+        assert len(bounds) == 5, "--stage-steps needs 5 comma-separated ints"
+        cfg = cfg.replace(stage_steps=bounds)
     run_dir = os.path.join(args.log_root, f"{args.metric}_{args.lambda_rd}")
     os.makedirs(run_dir, exist_ok=True)
     logger = setup_logger("train", run_dir, tofile=True)
@@ -141,6 +152,19 @@ def main():
     def crossed(period: int, lo: int, hi: int) -> bool:
         return lo // period != hi // period
 
+    # round-2's run died during first-step compile leaving a 0-byte log
+    # (nothing logged before step 100); log startup + every early step so
+    # a killed run still shows how far it got, and flush each record.
+    from deepsvc_tpu.train.trainer import stage_info
+
+    logger.info(
+        f"start: lambda={args.lambda_rd} metric={args.metric} "
+        f"batch={args.batch_size} crop={args.crop} "
+        f"stage_steps={cfg.stage_steps} devices={jax.devices()}"
+    )
+    for h in logger.handlers:
+        h.flush()
+    prev_band = None
     sms = None
     for batch in batches():
         frames = jnp.asarray(batch)
@@ -152,17 +176,26 @@ def main():
                  args.crop // 4, args.crop // 4, 256),
                 jnp.float32,
             )
+        band = stage_info(prev_step, cfg).band
+        if band != prev_band:
+            logger.info(f"entering band {band} at step {prev_step} "
+                        f"(compiling — first iteration will be slow)")
+            for h in logger.handlers:
+                h.flush()
+            prev_band = band
         t_step = time.perf_counter()
         metrics = trainer.train_batch(frames, sms)
         meter.update(float(metrics["loss"]))
         step = int(trainer.state.step)
         step_s = time.perf_counter() - t_step
-        if crossed(100, prev_step, step):
+        if prev_step < 10 or crossed(100, prev_step, step):
             m_host = {k: float(v) for k, v in metrics.items()}
             logger.info(
                 f"step {step} loss {meter.avg:.4f} ({step_s:.2f}s/it) {m_host}"
             )
             meter.reset()
+            for h in logger.handlers:
+                h.flush()
         if crossed(300, prev_step, step):  # reference cadence (Learner.py:203-212)
             writer.add_scalars(
                 {k: float(v) for k, v in metrics.items()}, step, prefix="train_"
@@ -181,6 +214,10 @@ def main():
             if val["loss"] < best_val_loss:
                 best_val_loss = val["loss"]
                 ckpt.save(step, trainer.state, metrics={"val_loss": val["loss"]})
+        if crossed(args.ckpt_every, prev_step, step):
+            # periodic forced save so a killed run still leaves a restorable
+            # checkpoint (Learner.py:155-156 role)
+            ckpt.save(step, trainer.state, force=True)
         prev_step = step
         if args.steps is not None and step >= args.steps:
             break

@@ -30,6 +30,12 @@ def get_args():
                    help="skip the semantic layer (structure+texture only)")
     p.add_argument("--smoke", action="store_true",
                    help="synthetic sequence + fresh models (pipeline check)")
+    p.add_argument("--synthetic", action="store_true",
+                   help="full-size models (+checkpoints when present) on a "
+                        "synthetic moving-texture sequence — the RD proof "
+                        "path when no real dataset is mounted")
+    p.add_argument("--synthetic-size", type=str, default="192x320",
+                   help="HxW of the synthetic sequence")
     return p.parse_args()
 
 
@@ -56,7 +62,7 @@ def build_runtimes(args, lam):
     )
     from deepsvc_tpu.models.semantic_runtime import SemanticRuntime
 
-    tiny = args.smoke
+    tiny = args.smoke and not args.synthetic
     cfg = tiny_config() if tiny else DeepSVCConfig()
     i_model = build_image_codec(cfg)
     p_model = build_pframe_codec(cfg)
@@ -167,7 +173,22 @@ def main():
                           multi_supp=cfg.semantic.multi_supp)
 
         per_seq = {}
-        if args.smoke:
+        if args.synthetic:
+            import numpy as np
+
+            from deepsvc_tpu.data.synthetic import make_clip_batch
+
+            h, w = (int(v) for v in args.synthetic_size.split("x"))
+            rng = np.random.default_rng(7)
+            n = min(args.frames, 25)
+            # same moving-texture distribution the synthetic trainers see
+            clip = make_clip_batch(rng, frames=n, batch=1, height=h, width=w)
+
+            metrics = ev.evaluate_sequence(
+                (clip[t, 0] for t in range(n)), (h, w), max_frames=n
+            )
+            per_seq["synthetic"] = aggregate(metrics)
+        elif args.smoke:
             import numpy as np
 
             rng = np.random.default_rng(0)
@@ -202,7 +223,7 @@ def main():
         )
         print(json.dumps(out)[:400])
         per_lambda_outputs.append(out)
-        if args.smoke:
+        if args.smoke and not args.synthetic:
             break
 
     # across-lambda aggregate: {tgt}_{INDICATOR}.json with one list entry
