@@ -220,10 +220,15 @@ int decode_symbols(RansDecState& st, const int32_t* indexes, int n,
       n_nib += v;
       uint32_t overflow = 0;
       for (uint32_t k = 0; k < n_nib; ++k) {
-        // 64-bit shift: a corrupt stream can claim n_nib > 8, and a
-        // 32-bit shift >= 32 would be UB rather than a harmless drop
-        overflow |= static_cast<uint32_t>(
-            static_cast<uint64_t>(st.get_bypass()) << (k * kBypassBits));
+        // a corrupt stream can claim arbitrarily large n_nib (unary
+        // kMaxBypass-ary count); always consume the nibble to stay in
+        // stream sync, but only OR it in while the shift is defined —
+        // at k*kBypassBits >= 32 even the 64-bit shift would hit UB at
+        // k >= 16 (ADVICE r2 #4)
+        uint32_t nib = st.get_bypass();
+        if (k * kBypassBits < 32) {
+          overflow |= nib << (k * kBypassBits);
+        }
       }
       // invert zigzag (64-bit: overflow+1 must not wrap at UINT32_MAX)
       if (overflow & 1) {

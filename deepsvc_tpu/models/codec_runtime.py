@@ -172,12 +172,22 @@ class CodecRuntime:
         }
 
         self._last_encode = out  # encoder-side reconstructions, reusable
-        # y spatial dims = 4x the hyper dims (h_a has two stride-2 convs)
+        # True y spatial dims from y_hat's static shape (B, H, W, M) —
+        # NOT derived as z*4, which silently corrupts every decode when
+        # input padding makes y indivisible by 4 (ADVICE r2 #1).
+        # decode_hyper crops its upsampled params to this shape, so any
+        # y <= z*4 decodes correctly.
+        y_h, y_w = int(out["y_hat"].shape[1]), int(out["y_hat"].shape[2])
+        z_h, z_w = int(z_sym.shape[1]), int(z_sym.shape[2])
+        if not (z_h * 4 >= y_h > (z_h - 1) * 4 and z_w * 4 >= y_w > (z_w - 1) * 4):
+            raise ValueError(
+                f"hyper/latent shape mismatch: y {(y_h, y_w)} vs z {(z_h, z_w)}"
+            )
         return Bitstream(
             y_string=y_string,
             z_string=z_string,
             z_shape=tuple(z_sym.shape[1:]),
-            y_shape=(z_sym.shape[1] * 4, z_sym.shape[2] * 4),
+            y_shape=(y_h, y_w),
         )
 
     def start_decompress(self, bs: Bitstream, cond=None, batch: int = 1) -> "_DecodeJob":

@@ -50,6 +50,13 @@ class Conv(nn.Module):
     shape, so the param tree and the computed function are identical
     across the flag.  Falls back to the plain conv when the shape or
     stride does not qualify.
+
+    Checkpoint compatibility: since r2 the kernel/bias are created via
+    ``self.param`` directly (one scope level: ``.../Conv_0/kernel``).
+    Checkpoints written by the r1 nn.Conv-wrapping revision
+    (``.../Conv_0/Conv_0/kernel``) are NOT restorable; this break is
+    deliberate — no r1 checkpoint ever completed training, so no
+    migration shim is carried (ADVICE r2 #2).
     """
 
     features: int

@@ -45,7 +45,12 @@ def warp(image: jnp.ndarray, flow: jnp.ndarray) -> jnp.ndarray:
     """
     B, H, W, C = image.shape
     orig_dtype = image.dtype
-    flo = flow.astype(jnp.float32)
+    # Sanitize: clip(NaN) = NaN and its int32 cast is implementation-
+    # defined, which would turn the promise_in_bounds gather below into
+    # an out-of-bounds read under diverging flow (ADVICE r2 #3).
+    flo = jnp.nan_to_num(
+        flow.astype(jnp.float32), posinf=float(max(H, W)), neginf=-float(max(H, W))
+    )
 
     # Sample coordinates in pixel space, clamped to the border.  Clamping
     # the coordinate is equivalent to grid_sample's border padding (which

@@ -112,6 +112,41 @@ class TestBitstream:
             np.asarray(out["y_hat"]), np.asarray(rt._last_encode["y_hat"])
         )
 
+    def test_overflow_branch_roundtrips(self, img_setup, rng):
+        """|symbol| > 127 forces finish_compress off the packed-int8 fast
+        path onto the exact-int16 pull; that branch must stay bit-exact
+        (ADVICE r2 #5: it had no coverage).  An untrained codec fed a
+        large-amplitude input guarantees out-of-int8 residuals."""
+        m, variables = img_setup
+        rt = CodecRuntime(m, variables)
+        x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32)) * 500.0
+        out = rt.start_compress(x)
+        buf = np.asarray(out["y_packed"])
+        n = (buf.size - 4) // 2
+        assert int(buf[2 * n:].view(np.int32)[0]) > 0, (
+            "test setup failed to force an out-of-int8 symbol"
+        )
+        assert int(np.abs(np.asarray(out["y_sym"])).max()) > 127
+        bs = rt.finish_compress(out)
+        dec = rt.decompress(bs)
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(rt._last_encode["y_hat"])
+        )
+
+    def test_y_indivisible_by_4_roundtrips(self, img_setup, rng):
+        """80x80 input -> y 5x5, z 2x2: y != z*4.  The bitstream must
+        carry the TRUE y shape (ADVICE r2 #1: deriving it as z*4
+        silently corrupted every decode at pad multiples < 64)."""
+        m, variables = img_setup
+        rt = CodecRuntime(m, variables)
+        x = jnp.asarray(rng.random((1, 80, 80, 3), dtype=np.float32))
+        bs = rt.compress(x)
+        assert bs.y_shape == (5, 5)
+        dec = rt.decompress(bs)
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(rt._last_encode["y_hat"])
+        )
+
     def test_forward_bpp_predicts_real_bpp(self, img_setup, rng):
         """Estimated bits (likelihoods) ~ actual coded bits (within ~10%)."""
         m, variables = img_setup
