@@ -122,22 +122,78 @@ class TestPadCrop:
         np.testing.assert_allclose(np.asarray(got).transpose(0, 3, 1, 2), ref, atol=0)
 
 
+def _torch_gaussian_win(size=11, sigma=1.5):
+    coords = torch.arange(size, dtype=torch.float64) - size // 2
+    g = torch.exp(-(coords**2) / (2 * sigma**2))
+    return (g / g.sum()).float()
+
+
+def _torch_ssim_components(x, y, data_range=1.0, size=11, sigma=1.5):
+    """Independent torch SSIM oracle (the published MS-SSIM algorithm with
+    pytorch_msssim's conventions: separable depthwise Gaussian, VALID
+    padding, K=(0.01, 0.03)).  Written against the paper, not our JAX
+    code, so agreement is two independent implementations concurring."""
+    import torch.nn.functional as tF
+
+    C = x.shape[1]
+    win = _torch_gaussian_win(size, sigma)
+    wh = win.view(1, 1, size, 1).repeat(C, 1, 1, 1)
+    ww = win.view(1, 1, 1, size).repeat(C, 1, 1, 1)
+    blur = lambda t: tF.conv2d(tF.conv2d(t, wh, groups=C), ww, groups=C)
+    c1, c2 = (0.01 * data_range) ** 2, (0.03 * data_range) ** 2
+    mu1, mu2 = blur(x), blur(y)
+    s1 = blur(x * x) - mu1 * mu1
+    s2 = blur(y * y) - mu2 * mu2
+    s12 = blur(x * y) - mu1 * mu2
+    cs = (2 * s12 + c2) / (s1 + s2 + c2)
+    ss = ((2 * mu1 * mu2 + c1) / (mu1 * mu1 + mu2 * mu2 + c1)) * cs
+    return ss.mean(dim=(2, 3)), cs.mean(dim=(2, 3))
+
+
+def _torch_ms_ssim(x, y, data_range=1.0, weights=(0.0448, 0.2856, 0.3001, 0.2363, 0.1333)):
+    import torch.nn.functional as tF
+
+    w = torch.tensor(weights) / sum(weights)
+    mcs = []
+    for i in range(len(weights)):
+        ss, cs = _torch_ssim_components(x, y, data_range)
+        if i < len(weights) - 1:
+            mcs.append(torch.relu(cs))
+            pad = [x.shape[3] % 2, x.shape[2] % 2]
+            x = tF.avg_pool2d(x, kernel_size=2, padding=[pad[1], pad[0]])
+            y = tF.avg_pool2d(y, kernel_size=2, padding=[pad[1], pad[0]])
+    stack = torch.stack(mcs + [torch.relu(ss)], dim=0)
+    return torch.prod(stack ** w.view(-1, 1, 1), dim=0).mean().item()
+
+
 class TestMSSSIM:
     def _pair(self, rng, shape):
         a = rng.random(shape, dtype=np.float32)
         b = np.clip(a + rng.standard_normal(shape).astype(np.float32) * 0.05, 0, 1)
         return a, b
 
-    def test_ssim_matches_pytorch_msssim(self, rng):
-        pytest.importorskip("pytorch_msssim")
-        from pytorch_msssim import ssim as t_ssim
-
+    def test_ssim_matches_torch_oracle(self, rng):
         a, b = self._pair(rng, (2, 3, 64, 64))
-        ref = t_ssim(torch.from_numpy(a), torch.from_numpy(b), data_range=1.0).item()
+        ref, _ = _torch_ssim_components(torch.from_numpy(a), torch.from_numpy(b))
         got = float(ssim(jnp.asarray(a.transpose(0, 2, 3, 1)), jnp.asarray(b.transpose(0, 2, 3, 1))))
+        assert abs(got - ref.mean().item()) < 1e-4
+
+    def test_msssim_matches_torch_oracle(self, rng):
+        a, b = self._pair(rng, (1, 3, 192, 176))
+        ref = _torch_ms_ssim(torch.from_numpy(a), torch.from_numpy(b))
+        got = float(ms_ssim(jnp.asarray(a.transpose(0, 2, 3, 1)), jnp.asarray(b.transpose(0, 2, 3, 1))))
+        assert abs(got - ref) < 1e-4
+
+    def test_msssim_odd_sizes_match_torch_oracle(self, rng):
+        # odd H/W exercises the zero-counting avg-pool padding path
+        a, b = self._pair(rng, (1, 3, 185, 179))
+        ref = _torch_ms_ssim(torch.from_numpy(a), torch.from_numpy(b))
+        got = float(ms_ssim(jnp.asarray(a.transpose(0, 2, 3, 1)), jnp.asarray(b.transpose(0, 2, 3, 1))))
         assert abs(got - ref) < 1e-4
 
     def test_msssim_matches_pytorch_msssim(self, rng):
+        # belt-and-braces: if the real upstream package is ever present,
+        # also pin against it (skips here; the torch oracle above does not)
         pytest.importorskip("pytorch_msssim")
         from pytorch_msssim import ms_ssim as t_msssim
 
