@@ -48,6 +48,13 @@ class VimeoConfig:
     max_frames: int = 7
     crop: int = 256
     use_coded_iframe: bool = True
+    # VimeoDataset1 `return_orgi` (reference dataset.py:231-285): clips
+    # gain a leading ORIGINAL im1 ahead of the AI-coded I-frame
+    # (<root>/<coded_iframe_dir>/<seq>/im1_1.png), so the semantic
+    # trainer can distill against the uncompressed target while the
+    # codec consumes the coded one.  PSNR models only.
+    return_orgi: bool = False
+    coded_iframe_dir: str = "ICIP2020_i_mse"
     seed: int = 0
 
 
@@ -69,7 +76,17 @@ class VimeoClips:
         cfg = self.cfg
         paths = []
         for i in range(1, cfg.max_frames + 1):
-            if i == 1 and cfg.use_coded_iframe:
+            if i == 1 and cfg.return_orgi and cfg.model_type == "PSNR":
+                # original + AI-coded pairing (dataset.py:258-265):
+                # frame 0 = pristine im1 (distillation target), frame 1 =
+                # the offline AI-coded I-frame the codec actually sees
+                paths.append(os.path.join(d, "im1.png"))
+                paths.append(
+                    os.path.join(
+                        d.replace("sequences", cfg.coded_iframe_dir), "im1_1.png"
+                    )
+                )
+            elif i == 1 and cfg.use_coded_iframe:
                 if cfg.model_type == "PSNR":
                     paths.append(
                         os.path.join(

@@ -58,6 +58,54 @@ class PFrameRuntime:
         self.mv_rt.update(force)
         self.res_rt.update(force)
 
+    def compress_pipelined(self, ref, curr, sm_fea, feature=None):
+        """Encode AND reconstruct the decoder state fully on the encoder
+        side (async dispatch; nothing blocks).
+
+        Unlike compress(), the residual synthesis + texture recon run on
+        the encoder too, so frame t+1's encode can start from the
+        returned (recon, feature) WITHOUT waiting for frame t's decode —
+        the encoder stream runs ahead while the decoder stream's host
+        rANS rounds hide under encoder device compute (the bench's
+        pipelined mode; VERDICT r2 item 2).
+
+        Returns dict(mv_enc, res_enc, mc, recon, feature); call
+        finish(handles) to pull symbols and produce the bitstreams.
+        """
+        v = self.variables
+        mv_in = self._motion(v, ref, curr)
+        mv_enc = self.mv_rt.start_compress(mv_in)
+        mc = self._mc(v, ref, mv_enc["x_hat"], sm_fea, feature)
+        res_in = self._res_in(v, ref, curr, mc["predict_frame"], mc["predict_fea"])
+        res_enc = self.res_rt.start_compress(res_in)
+        # encoder-side residual synthesis from the encoder's y_hat — the
+        # decoder's decode_finish computes the same ops on the same
+        # tensor, so the streams stay bit-identical
+        res_xhat = self.res_rt._synthesize(
+            {"params": v["params"]["res_codec"]}, res_enc["y_hat"], None
+        )
+        feature_out, recon = self._recon(
+            v, ref, res_xhat, mc["predict_fea"], mc["warp_fea"]
+        )
+        import jax.numpy as jnp
+
+        for enc in (mv_enc, res_enc):
+            for k in ("z_sym", "y_packed"):
+                enc[k].copy_to_host_async()
+        return {
+            "mv_enc": mv_enc,
+            "res_enc": res_enc,
+            "mc": mc,
+            "recon": jnp.clip(recon, 0.0, 1.0),
+            "feature": feature_out,
+        }
+
+    def finish(self, handles) -> tuple:
+        """Block on symbol pulls + host rANS for a compress_pipelined()."""
+        mv_bs = self.mv_rt.finish_compress(handles["mv_enc"])
+        res_bs = self.res_rt.finish_compress(handles["res_enc"])
+        return mv_bs, res_bs
+
     def compress(self, ref, curr, sm_fea, feature=None):
         """Returns (mv_bitstream, res_bitstream).
 
@@ -80,6 +128,13 @@ class PFrameRuntime:
         mv_bs = self.mv_rt.finish_compress(mv_enc)
         res_bs = self.res_rt.finish_compress(res_enc)
         return mv_bs, res_bs
+
+    def start_decompress(self, ref, mv_bs: Bitstream, res_bs: Bitstream,
+                         sm_fea, feature=None) -> "PFrameDecodeJob":
+        """Resumable decode: drive with job.step() until job.done, then
+        read job.result.  Lets callers overlap this frame's host rANS
+        rounds with other queued device work (next frame's encode)."""
+        return PFrameDecodeJob(self, ref, mv_bs, res_bs, sm_fea, feature)
 
     def decompress(self, ref, mv_bs: Bitstream, res_bs: Bitstream, sm_fea,
                    feature=None):
@@ -121,3 +176,49 @@ class PFrameRuntime:
             "warped": jnp.clip(mc["warped"], 0.0, 1.0),
             "predict_frame": jnp.clip(mc["predict_frame"], 0.0, 1.0),
         }
+
+
+class PFrameDecodeJob:
+    """One in-flight P-frame decode (interleaved MV/residual channel-AR
+    chains + MC + recon), advanced one host round per step()."""
+
+    def __init__(self, rt: PFrameRuntime, ref, mv_bs, res_bs, sm_fea, feature):
+        self.rt = rt
+        self.ref = ref
+        self.sm_fea = sm_fea
+        self.feature = feature
+        self.mv_job = rt.mv_rt.start_decompress(mv_bs)
+        self.res_job = rt.res_rt.start_decompress(res_bs)
+        self.mc = None
+        self.done = False
+        self.result = None
+
+    def step(self) -> bool:
+        """One interleaved host round; returns self.done."""
+        import jax.numpy as jnp
+
+        rt, v = self.rt, self.rt.variables
+        if self.done:
+            return True
+        self.mv_job.prefetch()
+        self.res_job.prefetch()
+        if not self.mv_job.done:
+            self.mv_job.advance()
+            if self.mv_job.done:
+                self.mc = rt._mc(v, self.ref, self.mv_job.result["x_hat"],
+                                 self.sm_fea, self.feature)
+        if not self.res_job.done:
+            self.res_job.advance()
+        if self.mv_job.done and self.res_job.done:
+            feature_out, recon = rt._recon(
+                v, self.ref, self.res_job.result["x_hat"],
+                self.mc["predict_fea"], self.mc["warp_fea"],
+            )
+            self.result = {
+                "feature": feature_out,
+                "recon": jnp.clip(recon, 0.0, 1.0),
+                "warped": jnp.clip(self.mc["warped"], 0.0, 1.0),
+                "predict_frame": jnp.clip(self.mc["predict_frame"], 0.0, 1.0),
+            }
+            self.done = True
+        return self.done

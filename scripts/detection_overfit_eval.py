@@ -1,0 +1,169 @@
+"""Close the detection loop with a number (VERDICT r2 item 4).
+
+Overfits the depth-26 SELSA detector on a 3-frame synthetic annotated
+clip, then runs VideoDetectionEvaluator over the REAL bitstream path
+(I-codec + semantic feature codec) and scores the detections with
+vid_map — the first detector-accuracy measurement in the repo (parity
+role: /root/reference/temporal_roi_align.py:626-635 + mmtracking mAP).
+
+Writes output/detection_overfit/map.json:
+    {"mAP": ..., "ibpp": ..., "pfeabpp": ..., "ipsnr": ..., "steps": N}
+
+CPU-only (leaves the TPU to training/bench jobs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def make_clip(n=3, size=64, box=24, step=2):
+    """Dark background, bright moving square; returns (frames, annos)."""
+    frames, annos = [], []
+    for t in range(n):
+        img = np.full((size, size, 3), 0.1, np.float32)
+        x0, y0 = 8 + step * t, 12 + step * t
+        img[y0 : y0 + box, x0 : x0 + box] = (0.9, 0.6, 0.2)
+        frames.append(img)
+        annos.append(
+            {
+                "boxes": np.asarray([[x0, y0, x0 + box, y0 + box]], np.float32),
+                "labels": np.asarray([2], np.int64),
+            }
+        )
+    return frames, annos
+
+
+def merged_init(det, x, supp, memo, ref_feats, gt, gt_labels, gt_valid, hw):
+    """Union of the param trees of every method the evaluator/trainer hits."""
+    k = jax.random.PRNGKey
+
+    def merge(a, b):
+        if isinstance(a, dict) and isinstance(b, dict):
+            out = dict(b)
+            for kk, val in a.items():
+                out[kk] = merge(val, b[kk]) if kk in b else val
+            return out
+        return a
+
+    v_p = det.init({"params": k(0)}, x, supp, rng=k(1), method=det.extract_p)
+    v_i = det.init({"params": k(0)}, x, method=det.extract_i)
+    v_l = det.init(
+        {"params": k(0)}, memo[0], memo, ref_feats, gt, gt_labels, gt_valid,
+        hw, k(2), method=det.losses,
+    )
+    params = merge(merge(v_p["params"], v_i["params"]), v_l["params"])
+    out = {"params": params}
+    bs = {}
+    for v in (v_p, v_i, v_l):
+        if "batch_stats" in v:
+            bs = merge(bs, v["batch_stats"])
+    if bs:
+        out["batch_stats"] = bs
+    return out
+
+
+def main(steps=200, refresh=25, out_path="output/detection_overfit/map.json"):
+    from deepsvc_tpu.core.image import Normalizer
+    from deepsvc_tpu.detect import SELSADetector
+    from deepsvc_tpu.detect.train_loop import DetectionTrainer, DetectionTrainConfig
+    from deepsvc_tpu.eval.detection_eval import VideoDetectionEvaluator, vid_map
+    from deepsvc_tpu.models import CodecRuntime, ImageCodec
+    from deepsvc_tpu.models.semantic import SemanticFeatureCodec
+
+    size, memo_len = 64, 3
+    det = SELSADetector(num_classes=5, sem_N=16, neck_channels=64, depth=26,
+                        proposals_per_frame=16)
+    frames, annos = make_clip(n=3, size=size)
+    norm = Normalizer()
+    hw = (size, size)
+
+    x0 = jnp.asarray(frames[0])[None]
+    supp0 = jnp.zeros((2, 1, size // 4, size // 4, 256))
+    memo0 = jnp.zeros((memo_len, size // 16, size // 16, 64))
+    ref0 = jnp.zeros((memo_len * 16, 7, 7, 64))
+    gt = jnp.asarray(annos[1]["boxes"])
+    gt_labels = jnp.asarray(annos[1]["labels"], jnp.int32)
+    gt_valid = jnp.asarray([True])
+
+    variables = merged_init(det, x0, supp0, memo0, ref0, gt, gt_labels,
+                            gt_valid, hw)
+
+    i_model = ImageCodec(N=32, M=40, num_slices=4, max_support_slices=2)
+    i_vars = i_model.init({"params": jax.random.PRNGKey(5)}, x0,
+                          rng=jax.random.PRNGKey(6))
+    i_rt = CodecRuntime(i_model, i_vars)
+
+    cfg = DetectionTrainConfig(fea_weight=20.0, lr=2e-4)
+    trainer = DetectionTrainer(cfg, det, variables, teacher_apply=None)
+
+    _extract_i = jax.jit(lambda v, xn: det.apply(v, xn, method=det.extract_i))
+    _refs = jax.jit(
+        lambda v, memo: det.apply(v, memo, hw, method=det.ref_roi_feats)
+    )
+
+    supp = memo = refs = None
+    for s in range(steps):
+        if s % refresh == 0:
+            # rebuild the frozen-I context with current neck params, the
+            # same construction the evaluator uses
+            rec = jnp.clip(i_rt.decompress(i_rt.compress(x0))["x_hat"], 0, 1)
+            sm0, fmap_i = _extract_i(trainer.state.params, norm(rec * 255.0))
+            supp = jnp.stack([sm0, sm0])
+            memo = jnp.repeat(fmap_i, memo_len, axis=0)
+            refs = _refs(trainer.state.params, memo)
+        t = 1 + s % 2  # alternate the two P frames
+        m = trainer.train_frame(
+            norm(jnp.asarray(frames[t])[None] * 255.0), supp, memo, refs,
+            None,
+            jnp.asarray(annos[t]["boxes"]),
+            jnp.asarray(annos[t]["labels"], jnp.int32),
+            jnp.asarray([True]),
+        )
+        if s % 20 == 0 or s == steps - 1:
+            print(f"step {s}: det={m['det']:.4f} rpn_cls={m['rpn_cls']:.4f} "
+                  f"roi_cls={m['roi_cls']:.4f} roi_reg={m['roi_reg']:.4f}",
+                  flush=True)
+
+    trained = trainer.state.params
+    sm_rt = CodecRuntime(
+        SemanticFeatureCodec(N=det.sem_N),
+        {"params": trained["params"]["student"]["layer1"]},
+    )
+    ev = VideoDetectionEvaluator(det, trained, i_rt, sm_rt, gop=12,
+                                 memo_len=memo_len, multi_supp=True)
+    results, stats = ev.evaluate_sequence(iter(frames), (size, size),
+                                          max_frames=len(frames))
+    scored = vid_map(results, annos, num_classes=det.num_classes)
+    out = {
+        "mAP": scored["mAP"],
+        "ap_per_class": scored["ap_per_class"],
+        **stats,
+        "steps": steps,
+        "frames": len(frames),
+        "detector": "depth-26 SELSA, tiny codecs, synthetic clip",
+    }
+    os.makedirs(os.path.dirname(out_path), exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in ("mAP", "ibpp", "pfeabpp", "ipsnr")}))
+    return out
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--out", type=str, default="output/detection_overfit/map.json")
+    a = p.parse_args()
+    main(steps=a.steps, out_path=a.out)

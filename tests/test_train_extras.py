@@ -177,6 +177,38 @@ class TestVimeoPipeline:
         batches = list(clips.batches(batch_size=2))
         assert batches[0].shape == (7, 2, 48, 48, 3)
 
+    def test_return_orgi_pairing(self, tmp_path, rng):
+        """VimeoDataset1 `return_orgi` parity (dataset.py:231-285): clips
+        lead with [original im1, AI-coded im1_1], then im2..imN, under one
+        joint transform."""
+        from PIL import Image
+
+        from deepsvc_tpu.data.vimeo import VimeoClips, VimeoConfig
+
+        root = tmp_path / "vimeo"
+        s = "00001/0001"
+        d = root / "sequences" / s
+        d.mkdir(parents=True)
+        for i in range(1, 8):
+            arr = np.full((64, 112, 3), i * 10, dtype=np.uint8)
+            Image.fromarray(arr).save(d / f"im{i}.png")
+        coded = root / "ICIP2020_i_mse" / s
+        coded.mkdir(parents=True)
+        Image.fromarray(np.full((64, 112, 3), 200, np.uint8)).save(coded / "im1_1.png")
+        (root / "sep_trainlist.txt").write_text(s + "\n")
+
+        cfg = VimeoConfig(root=str(root), crop=48, return_orgi=True)
+        clips = VimeoClips(cfg)
+        paths = clips._frame_paths(clips.dirs[0])
+        assert paths[0].endswith("sequences/00001/0001/im1.png")
+        assert paths[1].endswith("ICIP2020_i_mse/00001/0001/im1_1.png")
+        assert paths[2].endswith("im2.png")
+        clip = clips.load_clip(0, augment=False)
+        assert clip.shape == (8, 48, 48, 3)  # max_frames + 1
+        # frame 0 = original (10/255), frame 1 = coded stand-in (200/255)
+        assert abs(float(clip[0].mean()) - 10 / 255) < 1e-3
+        assert abs(float(clip[1].mean()) - 200 / 255) < 1e-3
+
     def test_vid_paths(self, tmp_path):
         from deepsvc_tpu.data.vid import VIDClips, VIDConfig
 
