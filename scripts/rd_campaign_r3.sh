@@ -12,8 +12,8 @@ mkdir -p $OUT
 
 # Phase 1: P-codec lambda=640 (compressed stage schedule -> cascade at 1000)
 timeout 11000 python main.py --lambda-rd 640 --synthetic --batch-size 4 \
-  --steps 4000 --stage-steps 400,600,800,1000,1200 --val-every 500 \
-  --ckpt-every 500 --log-root $OUT
+  --steps 4000 --stage-steps 400,600,800,1000,1200 --val-every 1000 \
+  --ckpt-every 1000 --log-root $OUT
 echo "PHASE1_DONE rc=$?" >> $OUT/campaign.log
 
 # Phase 2: I-codec lambda matching P-640 (tag image_mse_640)
@@ -23,8 +23,8 @@ echo "PHASE2_DONE rc=$?" >> $OUT/campaign.log
 
 # Phase 3: P-codec lambda=320
 timeout 11000 python main.py --lambda-rd 320 --synthetic --batch-size 4 \
-  --steps 4000 --stage-steps 400,600,800,1000,1200 --val-every 500 \
-  --ckpt-every 500 --log-root $OUT
+  --steps 4000 --stage-steps 400,600,800,1000,1200 --val-every 1000 \
+  --ckpt-every 1000 --log-root $OUT
 echo "PHASE3_DONE rc=$?" >> $OUT/campaign.log
 
 # Phase 4: I-codec lambda matching P-320 (tag image_mse_320)
