@@ -62,7 +62,7 @@ def build_runtimes(args, lam):
     )
     from deepsvc_tpu.models.semantic_runtime import SemanticRuntime
 
-    tiny = args.smoke and not args.synthetic
+    tiny = args.smoke and not getattr(args, "synthetic", False)
     cfg = tiny_config() if tiny else DeepSVCConfig()
     i_model = build_image_codec(cfg)
     p_model = build_pframe_codec(cfg)

@@ -32,6 +32,7 @@ class TestMesh:
 
 
 class TestDataParallelTraining:
+    @pytest.mark.slow
     def test_dp_cascade_step_runs_and_matches_single(self, rng, cpu_devices):
         """DP over 4 devices == single-device result (deterministic)."""
         mesh = make_mesh(data=4, space=1, devices=cpu_devices)
@@ -60,6 +61,7 @@ class TestDataParallelTraining:
             float(metrics["loss"]), float(metrics1["loss"]), rtol=2e-4
         )
 
+    @pytest.mark.slow
     def test_spatial_sharding_conv_forward(self, rng, cpu_devices):
         """Spatially-sharded eval forward (XLA inserts conv halos)."""
         from deepsvc_tpu.models import ImageCodec

@@ -61,6 +61,7 @@ def tiny_trainer():
     return PFrameTrainer(cfg, model=model, init_shape=(64, 64))
 
 
+@pytest.mark.slow
 class TestPFrameTrainer:
     def test_training_reduces_loss(self, tiny_trainer, rng):
         tr = tiny_trainer

@@ -16,6 +16,7 @@ from deepsvc_tpu.train.trainer import TrainState
 
 
 class TestImageCodecTrainer:
+    @pytest.mark.slow
     def test_loss_decreases(self, rng):
         cfg = ImageTrainConfig(lmbda=0.0483)
         model = ImageCodec(N=32, M=40, num_slices=4, max_support_slices=2)
