@@ -12,7 +12,12 @@ import numpy as np
 
 
 def _fit_and_integrate(x, y, lo, hi):
-    p = np.polyfit(x, y, 3)
+    # cubic with >=4 points (the standard BD fit); degrade gracefully for
+    # short curves (2-point curves -> linear interpolation)
+    deg = min(3, len(np.asarray(x)) - 1)
+    if deg < 1:
+        raise ValueError("need at least 2 rate points")
+    p = np.polyfit(x, y, deg)
     pi = np.polyint(p)
     return np.polyval(pi, hi) - np.polyval(pi, lo)
 

@@ -17,6 +17,9 @@ from __future__ import annotations
 import argparse
 import json
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 
@@ -137,6 +140,38 @@ def main(steps=200, refresh=25, out_path="output/detection_overfit/map.json"):
                   flush=True)
 
     trained = trainer.state.params
+
+    # --- diagnostic: decode detections straight from the TRAINING path
+    # (extract_p features, no real bitstream) to separate head quality
+    # from train/eval distribution shift ---
+    from deepsvc_tpu.detect.detector import decode_detections
+    from deepsvc_tpu.eval.detection_eval import DetectionResult
+
+    diag = []
+    for t in (1, 2):
+        p_out = det.apply(trained, norm(jnp.asarray(frames[t])[None] * 255.0),
+                          supp, training=False, method=det.extract_p)
+        props, scores, valid = det.apply(trained, p_out["fmap"][0], hw,
+                                         method=det.propose)
+        cls_logits, deltas = det.apply(trained, p_out["fmap"][0], props, memo,
+                                       refs, method=det.roi_forward)
+        boxes, det_scores, labels, det_valid = decode_detections(
+            props, cls_logits, deltas, hw, num_classes=det.num_classes)
+        mvalid = np.asarray(det_valid)
+        diag.append(DetectionResult(
+            frame_index=t, boxes=np.asarray(boxes)[mvalid],
+            scores=np.asarray(det_scores)[mvalid],
+            labels=np.asarray(labels)[mvalid], is_iframe=False, bpp=0.0))
+        top = np.argsort(-np.asarray(det_scores))[:3]
+        print(f"frame {t} top dets: boxes={np.asarray(boxes)[top].round(1)} "
+              f"scores={np.asarray(det_scores)[top].round(3)} "
+              f"labels={np.asarray(labels)[top]} gt={annos[t]['boxes']}",
+              flush=True)
+    from deepsvc_tpu.eval.detection_eval import vid_map as _vm
+
+    train_path_map = _vm(diag, annos[1:3], num_classes=det.num_classes)["mAP"]
+    print(f"train-path mAP (no bitstream): {train_path_map:.3f}", flush=True)
+
     sm_rt = CodecRuntime(
         SemanticFeatureCodec(N=det.sem_N),
         {"params": trained["params"]["student"]["layer1"]},
@@ -148,6 +183,7 @@ def main(steps=200, refresh=25, out_path="output/detection_overfit/map.json"):
     scored = vid_map(results, annos, num_classes=det.num_classes)
     out = {
         "mAP": scored["mAP"],
+        "mAP_train_path": train_path_map,
         "ap_per_class": scored["ap_per_class"],
         **stats,
         "steps": steps,
