@@ -23,6 +23,15 @@ TPU-first design decisions (vs. the reference's CUDA/torch structure):
 - Hyper-synthesis outputs are cropped to the y-shape once, right after
   synthesis, rather than per-slice (reference: image_model.py:175).
 - Entropy math stays f32; transforms may run bf16.
+- The entropy-PARAMETER networks (h_mean_s/h_scale_s/cc_*) always run
+  f32 regardless of the model dtype: the encoder evaluates them inside
+  one fused program while the decoder evaluates them across per-round
+  programs, and TPU bf16 convs are NOT bitwise-reproducible across
+  different fusion contexts — a last-bit scale difference flips a CDF
+  row index and desynchronizes the rANS stream catastrophically
+  (measured: full-frame corruption at 1080p bf16; f32 convs are
+  cross-program deterministic on TPU).  These nets run at the latent's
+  /16 spatial resolution, so the f32 cost is a few ms/frame.
 """
 
 from __future__ import annotations
@@ -407,16 +416,18 @@ class ImageCodec(ChannelARBase):
         self.h_a = ConvStack(
             [(N, 3, 1, "conv"), (N, 5, 2, "conv"), (N, 5, 2, "conv")], "leaky_relu", dt
         )
+        # f32: encoder/decoder cross-program determinism (module docstring)
+        f32 = jnp.float32
         self.h_mean_s = ConvStack(
-            [(N, 5, 2, "deconv"), (256, 5, 2, "deconv"), (M, 3, 1, "conv")], "leaky_relu", dt
+            [(N, 5, 2, "deconv"), (256, 5, 2, "deconv"), (M, 3, 1, "conv")], "leaky_relu", f32
         )
         self.h_scale_s = ConvStack(
-            [(N, 5, 2, "deconv"), (256, 5, 2, "deconv"), (M, 3, 1, "conv")], "leaky_relu", dt
+            [(N, 5, 2, "deconv"), (256, 5, 2, "deconv"), (M, 3, 1, "conv")], "leaky_relu", f32
         )
         cc_spec = [(224, 3, 1, "conv"), (128, 3, 1, "conv"), (d, 3, 1, "conv")]
-        self.cc_mean = [ConvStack(cc_spec, "leaky_relu", dt) for _ in range(self.num_slices)]
-        self.cc_scale = [ConvStack(cc_spec, "leaky_relu", dt) for _ in range(self.num_slices)]
-        self.cc_lrp = [ConvStack(cc_spec, "leaky_relu", dt) for _ in range(self.num_slices)]
+        self.cc_mean = [ConvStack(cc_spec, "leaky_relu", f32) for _ in range(self.num_slices)]
+        self.cc_scale = [ConvStack(cc_spec, "leaky_relu", f32) for _ in range(self.num_slices)]
+        self.cc_lrp = [ConvStack(cc_spec, "leaky_relu", f32) for _ in range(self.num_slices)]
         self.entropy_bottleneck = EntropyBottleneck(channels=N)
 
 
@@ -450,11 +461,13 @@ class ConditionalCodec(ChannelARBase):
             "gelu", dt,
         )
         hs_spec = [(N, 3, 2, "subpel"), (N, 3, 1, "conv"), (N, 3, 2, "subpel"), (N, 3, 1, "conv")]
-        self.h_mean_s = ConvStack(hs_spec, "gelu", dt)
-        self.h_scale_s = ConvStack(hs_spec, "gelu", dt)
+        # f32: encoder/decoder cross-program determinism (module docstring)
+        f32 = jnp.float32
+        self.h_mean_s = ConvStack(hs_spec, "gelu", f32)
+        self.h_scale_s = ConvStack(hs_spec, "gelu", f32)
         cc_spec = [(N, 3, 1, "conv"), (64, 3, 1, "conv"), (32, 3, 1, "conv"), (d, 3, 1, "conv")]
         lrp_spec = [(N, 3, 1, "conv"), (N // 2, 3, 1, "conv"), (d, 3, 1, "conv")]
-        self.cc_mean = [ConvStack(cc_spec, "gelu", dt) for _ in range(self.num_slices)]
-        self.cc_scale = [ConvStack(cc_spec, "gelu", dt) for _ in range(self.num_slices)]
-        self.cc_lrp = [ConvStack(lrp_spec, "gelu", dt) for _ in range(self.num_slices)]
+        self.cc_mean = [ConvStack(cc_spec, "gelu", f32) for _ in range(self.num_slices)]
+        self.cc_scale = [ConvStack(cc_spec, "gelu", f32) for _ in range(self.num_slices)]
+        self.cc_lrp = [ConvStack(lrp_spec, "gelu", f32) for _ in range(self.num_slices)]
         self.entropy_bottleneck = EntropyBottleneck(channels=N)

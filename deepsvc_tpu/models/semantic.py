@@ -82,8 +82,13 @@ class SemanticFeatureCodec(ChannelARBase):
             ResBottleneckBlock(256, dtype=dt),
             ResBottleneckBlock(256, dtype=dt),
         ])
+        # fea_convert feeds every slice's entropy support, so it joins the
+        # f32 entropy-parameter path (cross-program determinism — see
+        # image_codec.py module docstring); fea_convert1 only feeds the
+        # synthesis and may stay in the model dtype.
+        f32 = jnp.float32
         self.fea_convert = ConvStack([(128, 5, 2, "conv"), (64, 5, 2, "conv")],
-                                     "leaky_relu", dt)
+                                     "leaky_relu", f32)
         self.fea_convert1 = ConvStack([(128, 3, 1, "conv"), (64, 3, 1, "conv")],
                                       "leaky_relu", dt)
 
@@ -92,14 +97,14 @@ class SemanticFeatureCodec(ChannelARBase):
             "leaky_relu", dt,
         )
         hs = [(N, 3, 2, "subpel"), (N, 3, 1, "conv"), (N, 3, 2, "subpel"), (N, 3, 1, "conv")]
-        self.h_mean_s = ConvStack(hs, "leaky_relu", dt)
-        self.h_scale_s = ConvStack(hs, "leaky_relu", dt)
+        self.h_mean_s = ConvStack(hs, "leaky_relu", f32)
+        self.h_scale_s = ConvStack(hs, "leaky_relu", f32)
 
         cc = [(N, 3, 1, "conv"), (N, 3, 1, "conv"), (N, 3, 1, "conv"), (d, 3, 1, "conv")]
         lrp = [(N, 3, 1, "conv"), (N, 3, 1, "conv"), (d, 3, 1, "conv")]
-        self.cc_mean = [ConvStack(cc, "leaky_relu", dt) for _ in range(self.num_slices)]
-        self.cc_scale = [ConvStack(cc, "leaky_relu", dt) for _ in range(self.num_slices)]
-        self.cc_lrp = [ConvStack(lrp, "leaky_relu", dt) for _ in range(self.num_slices)]
+        self.cc_mean = [ConvStack(cc, "leaky_relu", f32) for _ in range(self.num_slices)]
+        self.cc_scale = [ConvStack(cc, "leaky_relu", f32) for _ in range(self.num_slices)]
+        self.cc_lrp = [ConvStack(lrp, "leaky_relu", f32) for _ in range(self.num_slices)]
 
         from ..entropy.bottleneck import EntropyBottleneck
 

@@ -77,7 +77,8 @@ def merged_init(det, x, supp, memo, ref_feats, gt, gt_labels, gt_valid, hw):
     return out
 
 
-def main(steps=200, refresh=25, out_path="output/detection_overfit/map.json"):
+def main(steps=200, refresh=25, i_steps=300,
+         out_path="output/detection_overfit/map.json"):
     from deepsvc_tpu.core.image import Normalizer
     from deepsvc_tpu.detect import SELSADetector
     from deepsvc_tpu.detect.train_loop import DetectionTrainer, DetectionTrainConfig
@@ -103,10 +104,23 @@ def main(steps=200, refresh=25, out_path="output/detection_overfit/map.json"):
     variables = merged_init(det, x0, supp0, memo0, ref0, gt, gt_labels,
                             gt_valid, hw)
 
+    # Briefly overfit the tiny I-codec on the clip first: a fresh-init
+    # codec reconstructs at ~12 dB, which starves the detector's frozen-I
+    # context and was the whole train-path(1.0) vs bitstream(0.67) gap.
+    from deepsvc_tpu.train.image_trainer import ImageCodecTrainer, ImageTrainConfig
+
     i_model = ImageCodec(N=32, M=40, num_slices=4, max_support_slices=2)
-    i_vars = i_model.init({"params": jax.random.PRNGKey(5)}, x0,
-                          rng=jax.random.PRNGKey(6))
-    i_rt = CodecRuntime(i_model, i_vars)
+    i_tr = ImageCodecTrainer(
+        ImageTrainConfig(lmbda=0.15, lr=1e-3, seed=5),
+        model=i_model, init_shape=(size, size),
+    )
+    clip_batch = jnp.stack([jnp.asarray(f) for f in frames])
+    for s in range(i_steps):
+        im = i_tr.train_batch(clip_batch)
+        if s % 50 == 0 or s == i_steps - 1:
+            print(f"i-codec step {s}: loss={im['loss']:.2f} "
+                  f"bpp={im['bpp']:.3f} mse={im['distortion']:.5f}", flush=True)
+    i_rt = CodecRuntime(i_model, i_tr.state.params)
 
     cfg = DetectionTrainConfig(fea_weight=20.0, lr=2e-4)
     trainer = DetectionTrainer(cfg, det, variables, teacher_apply=None)
@@ -187,6 +201,8 @@ def main(steps=200, refresh=25, out_path="output/detection_overfit/map.json"):
         "ap_per_class": scored["ap_per_class"],
         **stats,
         "steps": steps,
+        "i_steps": i_steps,
+        "i_final_mse": im["distortion"],
         "frames": len(frames),
         "detector": "depth-26 SELSA, tiny codecs, synthetic clip",
     }
@@ -200,6 +216,7 @@ def main(steps=200, refresh=25, out_path="output/detection_overfit/map.json"):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--steps", type=int, default=200)
+    p.add_argument("--i-steps", type=int, default=300)
     p.add_argument("--out", type=str, default="output/detection_overfit/map.json")
     a = p.parse_args()
-    main(steps=a.steps, out_path=a.out)
+    main(steps=a.steps, i_steps=a.i_steps, out_path=a.out)
