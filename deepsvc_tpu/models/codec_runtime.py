@@ -190,14 +190,20 @@ class CodecRuntime:
             y_shape=(y_h, y_w),
         )
 
-    def start_decompress(self, bs: Bitstream, cond=None, batch: int = 1) -> "_DecodeJob":
+    def start_decompress(self, bs: Bitstream, cond=None, batch: int = 1,
+                         finish_fn=None) -> "_DecodeJob":
         """Begin a resumable decode: host z decode + async hyper/params
         dispatch happen here; drive with job.advance() until job.done.
 
         Two independent jobs can be interleaved so one stream's host rANS
         overlaps the other's queued device step (the P-frame MV/residual
-        pair, pframe_runtime.decompress)."""
-        return _DecodeJob(self, bs, cond, batch)
+        pair, pframe_runtime.decompress).
+
+        ``finish_fn(means, y_hat_prev, mu_tail, syms_tail, cond)`` replaces
+        the default decode_finish dispatch for the tail round — callers
+        fuse follow-on device stages (MC, reconstruction) into that single
+        dispatch instead of issuing them separately."""
+        return _DecodeJob(self, bs, cond, batch, finish_fn)
 
     def decompress(self, bs: Bitstream, cond=None, batch: int = 1):
         """Minimum-round-trip decode: max_support_slices + 1 host syncs.
@@ -217,11 +223,13 @@ class _DecodeJob:
     """One in-flight channel-AR decode, advanced one host-blocking round
     at a time (max_support_slices rounds + 1 tail round)."""
 
-    def __init__(self, rt: CodecRuntime, bs: Bitstream, cond, batch: int):
+    def __init__(self, rt: CodecRuntime, bs: Bitstream, cond, batch: int,
+                 finish_fn=None):
         self.rt = rt
         self.bs = bs
         self.cond = cond
         self.batch = batch
+        self.finish_fn = finish_fn
         self.done = False
         self.result = None
         self.times = []
@@ -287,9 +295,15 @@ class _DecodeJob:
             sym_tail = jnp.asarray(
                 sym.astype(np.int16).reshape(n_tail, batch, H, W, d)
             )
-            self.result = rt._decode_finish(
-                rt.variables, means, self._y_hat_prev, self._mu, sym_tail, cond
-            )
+            if self.finish_fn is not None:
+                self.result = self.finish_fn(
+                    means, self._y_hat_prev, self._mu, sym_tail, cond
+                )
+            else:
+                self.result = rt._decode_finish(
+                    rt.variables, means, self._y_hat_prev, self._mu, sym_tail,
+                    cond,
+                )
             self.done = True
         self.times.append((t1 - t0, t2 - t1, _time.perf_counter() - t2))
         return self.done

@@ -166,6 +166,49 @@ class PFrameCodec(nn.Module):
         feature, recon = self.enhance(jnp.concatenate([recon_fea, warp_fea], axis=-1))
         return feature, recon
 
+    # ---------------- fused bitstream-runtime programs ------------------
+    # One dispatch each: through a relay (and on PCIe) every dispatch pays
+    # fixed latency, and XLA fuses better across stage boundaries than the
+    # 6-dispatch staged chain (pframe_runtime timing, VERDICT r2 item 2).
+
+    def encode_frame(self, ref, curr, sm_fea, feature=None, with_recon=True):
+        """Whole P-frame encode as ONE program: motion -> MV encode ->
+        MC -> residual encode (+ optionally the decoder-state synthesis
+        and reconstruction, for the pipelined encoder)."""
+        mv_in = self.motion_analysis(ref, curr)
+        mv_enc = self.mv_codec.encode_tpu(mv_in, with_xhat=True)
+        mc = self.mc_stage(ref, mv_enc["x_hat"], sm_fea, feature)
+        res_in = self.res_input(ref, curr, mc["predict_frame"], mc["predict_fea"])
+        res_enc = self.res_codec.encode_tpu(res_in, with_xhat=False)
+        out = {"mv_enc": mv_enc, "res_enc": res_enc, "mc": mc}
+        if with_recon:
+            res_xhat = self.res_codec.synthesize(res_enc["y_hat"])
+            feature_out, recon = self.recon_stage(
+                ref, res_xhat, mc["predict_fea"], mc["warp_fea"]
+            )
+            out["recon"] = jnp.clip(recon, 0.0, 1.0)
+            out["feature"] = feature_out
+        return out
+
+    def mv_finish_mc(self, latent_means, y_hat_prev, mu_tail, syms_tail,
+                     ref, sm_fea, feature=None):
+        """MV decode tail + the MC stage, one dispatch (decode path)."""
+        fin = self.mv_codec.decode_finish(latent_means, y_hat_prev, mu_tail,
+                                          syms_tail)
+        fin["mc"] = self.mc_stage(ref, fin["x_hat"], sm_fea, feature)
+        return fin
+
+    def res_finish_recon(self, latent_means, y_hat_prev, mu_tail, syms_tail,
+                         ref, predict_fea, warp_fea):
+        """Residual decode tail + reconstruction, one dispatch."""
+        fin = self.res_codec.decode_finish(latent_means, y_hat_prev, mu_tail,
+                                           syms_tail)
+        feature, recon = self.recon_stage(ref, fin["x_hat"], predict_fea,
+                                          warp_fea)
+        fin["feature"] = feature
+        fin["recon"] = jnp.clip(recon, 0.0, 1.0)
+        return fin
+
     # ----------------------------- forward -----------------------------
 
     def __call__(self, ref, curr, sm_fea, feature=None, *, rng=None,

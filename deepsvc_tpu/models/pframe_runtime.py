@@ -53,6 +53,30 @@ class PFrameRuntime:
                 v, ref, res1, pfe, wfe, method=mt.recon_stage
             )
         )
+        # fused one-dispatch programs (encode whole frame; decode tails
+        # merged with MC / reconstruction) — every dispatch pays fixed
+        # relay/PCIe latency, and XLA fuses across the stage boundaries
+        self._encode_full = jax.jit(
+            lambda v, ref, curr, sm, feat: module.apply(
+                v, ref, curr, sm, feat, True, method=mt.encode_frame
+            )
+        )
+        self._encode_min = jax.jit(
+            lambda v, ref, curr, sm, feat: module.apply(
+                v, ref, curr, sm, feat, False, method=mt.encode_frame
+            )
+        )
+        self._mv_finish_mc = jax.jit(
+            lambda v, means, prev, mu, syms, ref, sm, feat: module.apply(
+                v, means, prev, mu, syms, ref, sm, feat, method=mt.mv_finish_mc
+            )
+        )
+        self._res_finish_recon = jax.jit(
+            lambda v, means, prev, mu, syms, ref, pfe, wfe: module.apply(
+                v, means, prev, mu, syms, ref, pfe, wfe,
+                method=mt.res_finish_recon,
+            )
+        )
 
     def update(self, force: bool = True):
         self.mv_rt.update(force)
@@ -71,34 +95,18 @@ class PFrameRuntime:
 
         Returns dict(mv_enc, res_enc, mc, recon, feature); call
         finish(handles) to pull symbols and produce the bitstreams.
-        """
-        v = self.variables
-        mv_in = self._motion(v, ref, curr)
-        mv_enc = self.mv_rt.start_compress(mv_in)
-        mc = self._mc(v, ref, mv_enc["x_hat"], sm_fea, feature)
-        res_in = self._res_in(v, ref, curr, mc["predict_frame"], mc["predict_fea"])
-        res_enc = self.res_rt.start_compress(res_in)
-        # encoder-side residual synthesis from the encoder's y_hat — the
-        # decoder's decode_finish computes the same ops on the same
-        # tensor, so the streams stay bit-identical
-        res_xhat = self.res_rt._synthesize(
-            {"params": v["params"]["res_codec"]}, res_enc["y_hat"], None
-        )
-        feature_out, recon = self._recon(
-            v, ref, res_xhat, mc["predict_fea"], mc["warp_fea"]
-        )
-        import jax.numpy as jnp
 
-        for enc in (mv_enc, res_enc):
+        The whole frame is ONE device dispatch (PFrameCodec.encode_frame):
+        motion, MV encode, MC, residual encode, decoder-state synthesis
+        and reconstruction — the encoder-side synthesis runs the same ops
+        on the same integer y_hat as the decoder's decode_finish, so the
+        streams stay bit-identical.
+        """
+        h = self._encode_full(self.variables, ref, curr, sm_fea, feature)
+        for enc in (h["mv_enc"], h["res_enc"]):
             for k in ("z_sym", "y_packed"):
                 enc[k].copy_to_host_async()
-        return {
-            "mv_enc": mv_enc,
-            "res_enc": res_enc,
-            "mc": mc,
-            "recon": jnp.clip(recon, 0.0, 1.0),
-            "feature": feature_out,
-        }
+        return h
 
     def finish(self, handles) -> tuple:
         """Block on symbol pulls + host rANS for a compress_pipelined()."""
@@ -111,16 +119,11 @@ class PFrameRuntime:
 
         Like the reference encoder (video_model.py:137-151), the decoder
         state is reconstructed on the encoder side so downstream frames
-        reference the exact decoded tensors.
+        reference the exact decoded tensors.  One device dispatch (no
+        synthesis/recon — the serial protocol takes them from decode).
         """
-        v = self.variables
-        mv_in = self._motion(v, ref, curr)
-        # dispatch the whole device chain async, then block on symbol
-        # pulls — host rANS overlaps the queued MC/residual compute
-        mv_enc = self.mv_rt.start_compress(mv_in)
-        mc = self._mc(v, ref, mv_enc["x_hat"], sm_fea, feature)
-        res_in = self._res_in(v, ref, curr, mc["predict_frame"], mc["predict_fea"])
-        res_enc = self.res_rt.start_compress(res_in)
+        h = self._encode_min(self.variables, ref, curr, sm_fea, feature)
+        mv_enc, res_enc = h["mv_enc"], h["res_enc"]
         # overlap all device->host symbol/index transfers
         for enc in (mv_enc, res_enc):
             for k in ("z_sym", "y_packed"):
@@ -144,38 +147,19 @@ class PFrameRuntime:
         The MV and residual latent decodes are data-independent (the
         residual codec is unconditioned), so the two channel-AR chains
         are interleaved: one stream's host rANS round overlaps the
-        other's queued device step, and the MC stage is dispatched
-        (async) the moment the MV stream completes, overlapping the
-        residual stream's remaining host rounds."""
-        import jax.numpy as jnp
-
-        v = self.variables
-        mv_job = self.mv_rt.start_decompress(mv_bs)
-        res_job = self.res_rt.start_decompress(res_bs)
-        mc = None
-        while not (mv_job.done and res_job.done):
-            # overlap the two streams' idx round trips
-            mv_job.prefetch()
-            res_job.prefetch()
-            if not mv_job.done:
-                mv_job.advance()
-                if mv_job.done:
-                    mc = self._mc(v, ref, mv_job.result["x_hat"], sm_fea, feature)
-            if not res_job.done:
-                res_job.advance()
+        other's queued device step.  The MC stage rides the MV stream's
+        tail dispatch and the reconstruction rides the residual stream's
+        tail dispatch (PFrameCodec.mv_finish_mc / res_finish_recon), so
+        a full frame decode costs max_support_slices + 1 dispatches
+        total."""
+        job = self.start_decompress(ref, mv_bs, res_bs, sm_fea, feature)
+        while not job.step():
+            pass
         self.mv_rt.timings = {**getattr(self.mv_rt, "timings", {}),
-                              "dec_steps": mv_job.times}
+                              "dec_steps": job.mv_job.times}
         self.res_rt.timings = {**getattr(self.res_rt, "timings", {}),
-                               "dec_steps": res_job.times}
-        feature_out, recon = self._recon(
-            v, ref, res_job.result["x_hat"], mc["predict_fea"], mc["warp_fea"]
-        )
-        return {
-            "feature": feature_out,
-            "recon": jnp.clip(recon, 0.0, 1.0),
-            "warped": jnp.clip(mc["warped"], 0.0, 1.0),
-            "predict_frame": jnp.clip(mc["predict_frame"], 0.0, 1.0),
-        }
+                               "dec_steps": job.res_job.times}
+        return job.result
 
 
 class PFrameDecodeJob:
@@ -187,8 +171,23 @@ class PFrameDecodeJob:
         self.ref = ref
         self.sm_fea = sm_fea
         self.feature = feature
-        self.mv_job = rt.mv_rt.start_decompress(mv_bs)
-        self.res_job = rt.res_rt.start_decompress(res_bs)
+        v = rt.variables
+        # tail dispatches fused with the follow-on stages: MV tail ->
+        # +MC; residual tail -> +reconstruction (reads self.mc, which the
+        # MV tail has produced by then — the MV job advances first)
+        self.mv_job = rt.mv_rt.start_decompress(
+            mv_bs,
+            finish_fn=lambda means, prev, mu, syms, cond: rt._mv_finish_mc(
+                v, means, prev, mu, syms, self.ref, self.sm_fea, self.feature
+            ),
+        )
+        self.res_job = rt.res_rt.start_decompress(
+            res_bs,
+            finish_fn=lambda means, prev, mu, syms, cond: rt._res_finish_recon(
+                v, means, prev, mu, syms, self.ref,
+                self.mc["predict_fea"], self.mc["warp_fea"],
+            ),
+        )
         self.mc = None
         self.done = False
         self.result = None
@@ -197,7 +196,6 @@ class PFrameDecodeJob:
         """One interleaved host round; returns self.done."""
         import jax.numpy as jnp
 
-        rt, v = self.rt, self.rt.variables
         if self.done:
             return True
         self.mv_job.prefetch()
@@ -205,18 +203,14 @@ class PFrameDecodeJob:
         if not self.mv_job.done:
             self.mv_job.advance()
             if self.mv_job.done:
-                self.mc = rt._mc(v, self.ref, self.mv_job.result["x_hat"],
-                                 self.sm_fea, self.feature)
+                self.mc = self.mv_job.result["mc"]
         if not self.res_job.done:
             self.res_job.advance()
         if self.mv_job.done and self.res_job.done:
-            feature_out, recon = rt._recon(
-                v, self.ref, self.res_job.result["x_hat"],
-                self.mc["predict_fea"], self.mc["warp_fea"],
-            )
+            fin = self.res_job.result
             self.result = {
-                "feature": feature_out,
-                "recon": jnp.clip(recon, 0.0, 1.0),
+                "feature": fin["feature"],
+                "recon": fin["recon"],
                 "warped": jnp.clip(self.mc["warped"], 0.0, 1.0),
                 "predict_frame": jnp.clip(self.mc["predict_frame"], 0.0, 1.0),
             }

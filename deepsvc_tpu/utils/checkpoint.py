@@ -46,6 +46,14 @@ class CheckpointManager:
         )
 
     def save(self, step: int, state: Any, metrics: dict | None = None, force=False):
+        # A best-val save and a forced periodic save can land on the SAME
+        # step (both trigger on the same threshold crossing); orbax raises
+        # StepAlreadyExistsError on the second — which killed the round-3
+        # phase-1/phase-3 training runs at their first validation step.
+        # The state is identical within a step, so the second save is a
+        # no-op, not an error.
+        if step in (self._mgr.all_steps() or []):
+            return
         self._mgr.save(
             step,
             args=ocp.args.StandardSave(_to_host(state)),
