@@ -172,17 +172,18 @@ class PFrameDecodeJob:
         self.sm_fea = sm_fea
         self.feature = feature
         v = rt.variables
+        batch = int(ref.shape[0])
         # tail dispatches fused with the follow-on stages: MV tail ->
         # +MC; residual tail -> +reconstruction (reads self.mc, which the
         # MV tail has produced by then — the MV job advances first)
         self.mv_job = rt.mv_rt.start_decompress(
-            mv_bs,
+            mv_bs, batch=batch,
             finish_fn=lambda means, prev, mu, syms, cond: rt._mv_finish_mc(
                 v, means, prev, mu, syms, self.ref, self.sm_fea, self.feature
             ),
         )
         self.res_job = rt.res_rt.start_decompress(
-            res_bs,
+            res_bs, batch=batch,
             finish_fn=lambda means, prev, mu, syms, cond: rt._res_finish_recon(
                 v, means, prev, mu, syms, self.ref,
                 self.mc["predict_fea"], self.mc["warp_fea"],

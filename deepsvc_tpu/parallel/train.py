@@ -24,6 +24,15 @@ def make_dp_cascade_step(model, tx, mesh: Mesh, frames_n: int, lambda_rd: float,
     repl = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(None, "data"))
 
+    # remat each frame: the unrolled cascade otherwise holds every
+    # frame's activations live (>=50 GB at production shapes — 3x HBM;
+    # train/trainer.py _make_cascade_step, same trade)
+    frame_fwd = jax.checkpoint(
+        lambda params, ref, curr, sm, feature, key: model.apply(
+            params, ref, curr, sm, feature, rng=key, training=True
+        )
+    )
+
     def step(state, frames, sms):
         rng, sub = jax.random.split(state.rng)
 
@@ -34,9 +43,9 @@ def make_dp_cascade_step(model, tx, mesh: Mesh, frames_n: int, lambda_rd: float,
             num = frames_n * (frames_n - 1) // 2
             num_pixels = frames.shape[1] * frames.shape[2] * frames.shape[3]
             for idx in range(1, frames_n):
-                out = model.apply(
+                out = frame_fwd(
                     params, ref, frames[idx], sms[idx], feature,
-                    rng=jax.random.fold_in(sub, idx), training=True,
+                    jax.random.fold_in(sub, idx),
                 )
                 bpp = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
                 bpp += bpp_from_likelihoods(out["res_likelihoods"], num_pixels)

@@ -170,6 +170,19 @@ class PFrameTrainer:
         return step
 
     def _make_cascade_step(self, frames_n, mc_w):
+        # Rematerialize each frame's forward: the fully backpropagated
+        # unroll otherwise keeps EVERY frame's activations live
+        # (measured >= 50 GB at f=5, B=4, 256px — 3x the chip's HBM, the
+        # compile itself fails).  checkpoint saves only the per-frame
+        # boundary tensors (ref/feature/likelihoods) and recomputes the
+        # frame's internals in the backward pass — the canonical
+        # FLOPs-for-memory trade on TPU.
+        frame_fwd = jax.checkpoint(
+            lambda params, ref, curr, sm, feature, key: self.model.apply(
+                params, ref, curr, sm, feature, rng=key, training=True
+            )
+        )
+
         @jax.jit
         def step(state: TrainState, frames, sms):
             """frames: (f, B, H, W, 3); sms: (f, B, H/4, W/4, 256)."""
@@ -184,9 +197,8 @@ class PFrameTrainer:
                 last_metrics = None
                 for idx in range(1, frames_n):
                     sub_i = jax.random.fold_in(sub, idx)
-                    out = self.model.apply(
-                        params, ref, frames[idx], sms[idx], feature,
-                        rng=sub_i, training=True,
+                    out = frame_fwd(
+                        params, ref, frames[idx], sms[idx], feature, sub_i
                     )
                     bpp = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
                     bpp += bpp_from_likelihoods(out["res_likelihoods"], num_pixels)

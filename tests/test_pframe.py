@@ -144,3 +144,43 @@ class TestPFrameBitstream:
             ref = out["recon"]
             feature = out["feature"]
             assert np.isfinite(np.asarray(ref)).all()
+
+
+class TestBatchedStreams:
+    def test_batched_roundtrip_matches_per_stream(self, pf_setup, rng):
+        """N independent streams on one batch axis (bench --batch): the
+        single rANS stream carries the whole batch and must decode to the
+        encoder's state bit-exactly.  Against a solo (batch-1) coding of
+        the same item only CLOSENESS holds: convs at a different batch
+        size reassociate floats, which can flip a borderline symbol —
+        both codings are valid, they are just different."""
+        m, variables = pf_setup
+        rt = PFrameRuntime(m, variables)
+        B, H, W = 2, 64, 64
+        ref = jnp.asarray(rng.random((B, H, W, 3), dtype=np.float32))
+        curr = jnp.clip(
+            ref + 0.05 * rng.standard_normal((B, H, W, 3)).astype(np.float32), 0, 1
+        )
+        sm = jnp.asarray(
+            rng.standard_normal((B, H // 4, W // 4, 256)).astype(np.float32)
+        )
+
+        mv_bs, res_bs = rt.compress(ref, curr, sm, None)
+        enc_mv = np.asarray(rt.mv_rt._last_encode["y_hat"])
+        enc_res = np.asarray(rt.res_rt._last_encode["y_hat"])
+        out = rt.decompress(ref, mv_bs, res_bs, sm, None)
+        assert out["recon"].shape == (B, H, W, 3)
+
+        # batched decode == batched encoder state, bit-exact
+        mv_dec = rt.mv_rt.decompress(mv_bs, batch=B)
+        res_dec = rt.res_rt.decompress(res_bs, batch=B)
+        np.testing.assert_array_equal(np.asarray(mv_dec["y_hat"]), enc_mv)
+        np.testing.assert_array_equal(np.asarray(res_dec["y_hat"]), enc_res)
+
+        # each item's recon is close to its solo coding (not bitwise)
+        for b in range(B):
+            mv1, res1 = rt.compress(ref[b : b + 1], curr[b : b + 1],
+                                    sm[b : b + 1], None)
+            out1 = rt.decompress(ref[b : b + 1], mv1, res1, sm[b : b + 1], None)
+            diff = np.abs(np.asarray(out["recon"][b]) - np.asarray(out1["recon"][0]))
+            assert diff.mean() < 1e-2, diff.mean()
