@@ -132,6 +132,9 @@ class ResNetTeacher(nn.Module):
     strides: Sequence[int] = (1, 2, 2, 1)
     dilations: Sequence[int] = (1, 1, 1, 2)
     out_indices: Sequence[int] = (0, 1, 2, 3)
+    # Accepted for factory uniformity (core/factory.py builds every model
+    # with a dtype); the teacher always computes in f32 (frozen BN casts).
+    dtype: Dtype = jnp.float32
 
     @nn.compact
     def __call__(self, x):

@@ -170,56 +170,80 @@ class PFrameTrainer:
         return step
 
     def _make_cascade_step(self, frames_n, mc_w):
-        # Rematerialize each frame's forward: the fully backpropagated
-        # unroll otherwise keeps EVERY frame's activations live
-        # (measured >= 50 GB at f=5, B=4, 256px — 3x the chip's HBM, the
-        # compile itself fails).  checkpoint saves only the per-frame
-        # boundary tensors (ref/feature/likelihoods) and recomputes the
-        # frame's internals in the backward pass — the canonical
-        # FLOPs-for-memory trade on TPU.
+        # Two HBM levers, both needed at production shapes:
+        #  1. Rematerialize each frame's forward (jax.checkpoint): the
+        #     fully backpropagated unroll otherwise keeps EVERY frame's
+        #     activations live (measured >= 50 GB at f=5, B=4, 256px —
+        #     3x the chip's HBM; the compile itself fails).
+        #  2. Microbatch gradient accumulation (lax.scan over the batch
+        #     axis, one sample per iteration): even rematerialized, the
+        #     backward working set of the batched unroll measured
+        #     35.7 GB vs 15.75 GB HBM.  Peak memory scales with the
+        #     microbatch, total FLOPs are unchanged, and the averaged
+        #     grads equal the batched grads exactly (per-sample mean
+        #     losses; the clip loss is a mean over equal-sized samples).
         frame_fwd = jax.checkpoint(
             lambda params, ref, curr, sm, feature, key: self.model.apply(
                 params, ref, curr, sm, feature, rng=key, training=True
             )
         )
 
+        def clip_loss(params, frames, sms, sub):
+            """Cascade loss over one microbatch: frames (f, 1, H, W, 3)."""
+            ref = frames[0]
+            feature = None
+            total = 0.0
+            num = frames_n * (frames_n - 1) // 2
+            num_pixels = frames.shape[1] * frames.shape[2] * frames.shape[3]
+            last_metrics = None
+            for idx in range(1, frames_n):
+                sub_i = jax.random.fold_in(sub, idx)
+                out = frame_fwd(params, ref, frames[idx], sms[idx], feature, sub_i)
+                bpp = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
+                bpp += bpp_from_likelihoods(out["res_likelihoods"], num_pixels)
+                d, _, mc_d = _distortion(
+                    out["recon"], frames[idx], out["warped"],
+                    out["predict_frame"], self.cfg.metric,
+                )
+                lam = float(self.cfg.lambda_rd)
+                if self.cfg.metric == "msssim":
+                    lam = lam / 50.0
+                total += idx * (lam * (d + mc_w * mc_d) + bpp)
+                last_metrics = {"distortion": d, "bpp": bpp}
+                ref = out["recon"]          # NO detach: cascade backprop
+                feature = out["feature"]
+            loss = total / num
+            last_metrics["clip_loss"] = loss
+            return loss, last_metrics
+
         @jax.jit
         def step(state: TrainState, frames, sms):
             """frames: (f, B, H, W, 3); sms: (f, B, H/4, W/4, 256)."""
             rng, sub = jax.random.split(state.rng)
+            batch = frames.shape[1]
+            # (f, B, ...) -> (B, f, 1, ...): scan iterates samples
+            fr = jnp.moveaxis(frames, 1, 0)[:, :, None]
+            sm = jnp.moveaxis(sms, 1, 0)[:, :, None]
 
-            def loss_fn(params):
-                ref = frames[0]
-                feature = None
-                total = 0.0
-                num = frames_n * (frames_n - 1) // 2
-                num_pixels = frames.shape[1] * frames.shape[2] * frames.shape[3]
-                last_metrics = None
-                for idx in range(1, frames_n):
-                    sub_i = jax.random.fold_in(sub, idx)
-                    out = frame_fwd(
-                        params, ref, frames[idx], sms[idx], feature, sub_i
-                    )
-                    bpp = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
-                    bpp += bpp_from_likelihoods(out["res_likelihoods"], num_pixels)
-                    d, _, mc_d = _distortion(
-                        out["recon"], frames[idx], out["warped"],
-                        out["predict_frame"], self.cfg.metric,
-                    )
-                    lam = float(self.cfg.lambda_rd)
-                    if self.cfg.metric == "msssim":
-                        lam = lam / 50.0
-                    total += idx * (lam * (d + mc_w * mc_d) + bpp)
-                    last_metrics = {"distortion": d, "bpp": bpp}
-                    ref = out["recon"]          # NO detach: cascade backprop
-                    feature = out["feature"]
-                aux = self.model.apply(params, method=self.model.aux_loss)
-                loss = total / num + aux
-                last_metrics["loss"] = loss
-                last_metrics["aux"] = aux
-                return loss, last_metrics
+            def body(acc, xs):
+                fr_b, sm_b, i = xs
+                grad_fn = jax.grad(
+                    lambda p: clip_loss(p, fr_b, sm_b, jax.random.fold_in(sub, i)),
+                    has_aux=True,
+                )
+                g, m = grad_fn(state.params)
+                return jax.tree.map(jnp.add, acc, g), m
 
-            grads, metrics = jax.grad(loss_fn, has_aux=True)(state.params)
+            zero = jax.tree.map(jnp.zeros_like, state.params)
+            acc, ms = jax.lax.scan(body, zero, (fr, sm, jnp.arange(batch)))
+            # aux loss is data-independent: add its gradient once
+            aux, aux_g = jax.value_and_grad(
+                lambda p: self.model.apply(p, method=self.model.aux_loss)
+            )(state.params)
+            grads = jax.tree.map(lambda a, ag: a / batch + ag, acc, aux_g)
+            metrics = {k: v.mean() for k, v in ms.items()}
+            metrics["aux"] = aux
+            metrics["loss"] = metrics.pop("clip_loss") + aux
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
             params = optax.apply_updates(state.params, updates)
             new_state = state.replace(

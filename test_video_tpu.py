@@ -36,6 +36,10 @@ def get_args():
                         "path when no real dataset is mounted")
     p.add_argument("--synthetic-size", type=str, default="192x320",
                    help="HxW of the synthetic sequence")
+    p.add_argument("--cpu", action="store_true",
+                   help="force the CPU backend (sitecustomize pins "
+                        "jax_platforms, so the JAX_PLATFORMS env var "
+                        "has no effect in this environment)")
     return p.parse_args()
 
 
@@ -150,6 +154,10 @@ def build_runtimes(args, lam):
 
 def main():
     args = get_args()
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
     from deepsvc_tpu.eval import (
         TEST_DATA,
         GOPEvaluator,
