@@ -54,8 +54,10 @@ class ImageCodecTrainer:
         )(self.variables)
         jax.block_until_ready(self.state)
 
+        # lmbda is a TRACED scalar: every rate point shares one compiled
+        # step (a full-size compile is minutes over the dev relay)
         @jax.jit
-        def step(state: TrainState, batch):
+        def step(state: TrainState, batch, lmbda):
             rng, sub = jax.random.split(state.rng)
 
             def loss_fn(params):
@@ -64,10 +66,10 @@ class ImageCodecTrainer:
                 bpp = bpp_from_likelihoods(out["likelihoods"], num_pixels)
                 if cfg.metric == "msssim":
                     dist = 1.0 - ms_ssim(out["x_hat"], batch)
-                    rd = cfg.lmbda * dist
+                    rd = lmbda * dist
                 else:
                     dist = jnp.mean((out["x_hat"] - batch) ** 2)
-                    rd = cfg.lmbda * (255.0**2) * dist
+                    rd = lmbda * (255.0**2) * dist
                 aux = self.model.apply(params, method=self.model.aux_loss)
                 loss = rd + bpp + aux
                 return loss, {"loss": loss, "distortion": dist, "bpp": bpp,
@@ -86,5 +88,5 @@ class ImageCodecTrainer:
 
     def train_batch(self, batch) -> dict:
         """batch (B, H, W, 3) in [0,1]."""
-        self.state, metrics = self._step(self.state, batch)
+        self.state, metrics = self._step(self.state, batch, self.cfg.lmbda)
         return {k: float(v) for k, v in metrics.items()}

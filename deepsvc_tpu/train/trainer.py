@@ -123,7 +123,14 @@ class PFrameTrainer:
 
     # ------------------------------ losses ------------------------------
 
-    def _frame_loss(self, params, ref, curr, sm, feature, rng, warp_w, mc_w):
+    def _lam(self) -> float:
+        """Effective rate-distortion lambda (l_MSSSIM = l_PSNR / 50,
+        Learner.py:2212).  Passed INTO the jitted steps as a traced
+        scalar so every rate point shares the compiled graphs."""
+        lam = float(self.cfg.lambda_rd)
+        return lam / 50.0 if self.cfg.metric == "msssim" else lam
+
+    def _frame_loss(self, params, ref, curr, sm, feature, rng, lam, warp_w, mc_w):
         out = self.model.apply(params, ref, curr, sm, feature, rng=rng, training=True)
         num_pixels = curr.shape[0] * curr.shape[1] * curr.shape[2]
         bpp_mv = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
@@ -131,9 +138,6 @@ class PFrameTrainer:
         d, warp_d, mc_d = _distortion(
             out["recon"], curr, out["warped"], out["predict_frame"], self.cfg.metric
         )
-        lam = float(self.cfg.lambda_rd)
-        if self.cfg.metric == "msssim":
-            lam = lam / 50.0  # l_MSSSIM = l_PSNR / 50 (Learner.py:2212)
         distortion = d + warp_w * warp_d + mc_w * mc_d
         aux = self.model.apply(params, method=self.model.aux_loss)
         loss = lam * distortion + bpp_mv + bpp_res + aux
@@ -151,13 +155,19 @@ class PFrameTrainer:
 
     # --------------------------- jitted steps ---------------------------
 
-    def _make_frame_step(self, warp_w, mc_w, with_feature):
+    def _make_frame_step(self, with_feature):
+        # lam/warp_w/mc_w are TRACED scalars, not baked constants: every
+        # rate point and every band weight setting shares ONE compiled
+        # graph per (with_feature,) — band/lambda changes cost zero
+        # recompiles (a full-model compile is ~15 min over the dev relay)
         @jax.jit
-        def step(state: TrainState, ref, curr, sm, feature):
+        def step(state: TrainState, ref, curr, sm, feature, lam, warp_w, mc_w):
             rng, sub = jax.random.split(state.rng)
 
             def loss_fn(params):
-                return self._frame_loss(params, ref, curr, sm, feature, sub, warp_w, mc_w)
+                return self._frame_loss(
+                    params, ref, curr, sm, feature, sub, lam, warp_w, mc_w
+                )
 
             grads, (out, metrics) = jax.grad(loss_fn, has_aux=True)(state.params)
             updates, opt_state = self.tx.update(grads, state.opt_state, state.params)
@@ -169,7 +179,7 @@ class PFrameTrainer:
 
         return step
 
-    def _make_cascade_step(self, frames_n, mc_w):
+    def _make_cascade_step(self, frames_n):
         # Two HBM levers, both needed at production shapes:
         #  1. Rematerialize each frame's forward (jax.checkpoint): the
         #     fully backpropagated unroll otherwise keeps EVERY frame's
@@ -188,7 +198,7 @@ class PFrameTrainer:
             )
         )
 
-        def clip_loss(params, frames, sms, sub):
+        def clip_loss(params, frames, sms, sub, lam, mc_w):
             """Cascade loss over one microbatch: frames (f, 1, H, W, 3)."""
             ref = frames[0]
             feature = None
@@ -205,9 +215,6 @@ class PFrameTrainer:
                     out["recon"], frames[idx], out["warped"],
                     out["predict_frame"], self.cfg.metric,
                 )
-                lam = float(self.cfg.lambda_rd)
-                if self.cfg.metric == "msssim":
-                    lam = lam / 50.0
                 total += idx * (lam * (d + mc_w * mc_d) + bpp)
                 last_metrics = {"distortion": d, "bpp": bpp}
                 ref = out["recon"]          # NO detach: cascade backprop
@@ -217,7 +224,7 @@ class PFrameTrainer:
             return loss, last_metrics
 
         @jax.jit
-        def step(state: TrainState, frames, sms):
+        def step(state: TrainState, frames, sms, lam, mc_w):
             """frames: (f, B, H, W, 3); sms: (f, B, H/4, W/4, 256)."""
             rng, sub = jax.random.split(state.rng)
             batch = frames.shape[1]
@@ -228,7 +235,9 @@ class PFrameTrainer:
             def body(acc, xs):
                 fr_b, sm_b, i = xs
                 grad_fn = jax.grad(
-                    lambda p: clip_loss(p, fr_b, sm_b, jax.random.fold_in(sub, i)),
+                    lambda p: clip_loss(
+                        p, fr_b, sm_b, jax.random.fold_in(sub, i), lam, mc_w
+                    ),
                     has_aux=True,
                 )
                 g, m = grad_fn(state.params)
@@ -257,7 +266,7 @@ class PFrameTrainer:
 
     def _make_eval_step(self):
         @jax.jit
-        def step(params, ref, curr, sm, feature):
+        def step(params, ref, curr, sm, feature, lam):
             out = self.model.apply(params, ref, curr, sm, feature, training=False)
             num_pixels = curr.shape[0] * curr.shape[1] * curr.shape[2]
             bpp = bpp_from_likelihoods(out["mv_likelihoods"], num_pixels)
@@ -266,9 +275,6 @@ class PFrameTrainer:
                 out["recon"], curr, out["warped"], out["predict_frame"],
                 self.cfg.metric,
             )
-            lam = float(self.cfg.lambda_rd)
-            if self.cfg.metric == "msssim":
-                lam = lam / 50.0
             return out["recon"], out["feature"], {
                 "loss": lam * d + bpp,
                 "distortion": d,
@@ -291,7 +297,9 @@ class PFrameTrainer:
         ref, feature = frames[0], None
         acc = {}
         for t in range(1, f):
-            ref, feature, m = step(self.state.params, ref, frames[t], sms[t], feature)
+            ref, feature, m = step(
+                self.state.params, ref, frames[t], sms[t], feature, self._lam()
+            )
             for k, v in m.items():
                 acc[k] = acc.get(k, 0.0) + float(v)
         return {k: v / max(f - 1, 1) for k, v in acc.items()}
@@ -312,9 +320,9 @@ class PFrameTrainer:
         if info.cascade:
             key = f
             if key not in self._cascade_step_cache:
-                self._cascade_step_cache[key] = self._make_cascade_step(f, info.mc_weight)
+                self._cascade_step_cache[key] = self._make_cascade_step(f)
             self.state, metrics = self._cascade_step_cache[key](
-                self.state, frames[:f], sms[:f]
+                self.state, frames[:f], sms[:f], self._lam(), info.mc_weight
             )
             return metrics  # device scalars; callers float() lazily
 
@@ -322,11 +330,12 @@ class PFrameTrainer:
         feature = None
         metrics = {}
         for t in range(1, f):
-            key = (info.warp_weight, info.mc_weight, feature is not None)
+            key = feature is not None
             if key not in self._frame_step_cache:
-                self._frame_step_cache[key] = self._make_frame_step(*key)
+                self._frame_step_cache[key] = self._make_frame_step(key)
             self.state, recon, feature_new, m = self._frame_step_cache[key](
-                self.state, ref, frames[t], sms[t], feature
+                self.state, ref, frames[t], sms[t], feature,
+                self._lam(), info.warp_weight, info.mc_weight,
             )
             # detached recurrence (concrete arrays across jit boundaries)
             ref = recon

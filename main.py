@@ -87,6 +87,9 @@ def main():
     if args.tiny:
         tree = tiny_config(tree)
     model = build_pframe_codec(tree)
+    logger.info("building trainer (jitted init compile; minutes on cold cache)")
+    for h in logger.handlers:
+        h.flush()
     trainer = PFrameTrainer(cfg, model=model, init_shape=(args.crop, args.crop))
     ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
     if args.resume:
