@@ -170,7 +170,13 @@ def main_tpu(args):
         pass
     np.asarray(job.result["recon"].ravel()[0])
     fps_pipe = n_pipe * B / (time.perf_counter() - t0)
+    # encoder drives the decoder's executables (codec_runtime.start_
+    # compress), so encoder-side recon == decoder recon BITWISE; any
+    # nonzero here is a real desync and the number above is invalid
     max_err = float(max(float(e) for e in errs)) if errs else 0.0
+    if max_err != 0.0:
+        print(f"WARNING: pipelined encoder/decoder recon mismatch "
+              f"max|err|={max_err} — bitstream path desynced", file=sys.stderr)
 
     # ---- transforms-only fps (no host coder on the critical path) ----
     t0 = time.perf_counter()
@@ -255,6 +261,12 @@ def main_tpu(args):
         ),
         "encode_transform_tflops": round(flops / 1e12, 3),
         "mfu_vs_357tf": round(mfu, 4),
+        # value (pipelined) and fps_serial are both reported because
+        # mid-round vs driver-recorded numbers have disagreed (r2: 0.823
+        # builder vs 0.722 driver, single measurements on a shared box
+        # with no breakdown to compare).  The per-stage terms above exist
+        # so any future discrepancy is attributable; medians over frames
+        # reduce the noise.
         **i_leg,
     }
     print(json.dumps(out))

@@ -94,7 +94,7 @@ class GOPEvaluator:
                 feature = None
                 t0 = time.perf_counter()
                 bs = self.i_rt.compress(x)
-                jax.block_until_ready(self.i_rt._last_encode["y_hat"])
+                jax.block_until_ready(self.i_rt._last_encode["y_packed"])
                 enc_t = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 dec = self.i_rt.decompress(bs)
@@ -135,7 +135,7 @@ class GOPEvaluator:
 
                 t0 = time.perf_counter()
                 mv_bs, res_bs = self.p_rt.compress(ref, x, sm_fea, feature)
-                jax.block_until_ready(self.p_rt.res_rt._last_encode["y_hat"])
+                jax.block_until_ready(self.p_rt.res_rt._last_encode["y_packed"])
                 enc_t = time.perf_counter() - t0
                 t0 = time.perf_counter()
                 out = self.p_rt.decompress(ref, mv_bs, res_bs, sm_fea, feature)

@@ -27,6 +27,49 @@ from ..entropy import build_bottleneck_tables, build_gaussian_tables
 from ..entropy.cdf import CdfTable
 
 
+# Tiny shared quantizer programs: round-to-mu symbols for one slice /
+# the stacked tail.  Module-free so one callable serves every codec;
+# slicing happens INSIDE the programs (an eager y[..., a:b] would be an
+# extra relay dispatch per slice).
+@functools.partial(jax.jit, static_argnums=(2,))
+def _quant_head(y, mu, i):
+    d = mu.shape[-1]
+    y_slice = jax.lax.slice_in_dim(y, i * d, (i + 1) * d, axis=-1)
+    return jnp.round(y_slice.astype(jnp.float32) - mu).astype(jnp.int16)
+
+
+@functools.partial(jax.jit, static_argnums=(2,))
+def _quant_tail(y, mu_tail, ms):
+    """mu_tail: (n_tail, B, H, W, d) slice-major; y channels are
+    slice-major contiguous, so the reshape/transpose matches."""
+    n_tail, d = mu_tail.shape[0], mu_tail.shape[-1]
+    yt = jax.lax.slice_in_dim(y, ms * d, (ms + n_tail) * d, axis=-1)
+    b, h, w = yt.shape[:3]
+    yt = yt.reshape(b, h, w, n_tail, d).transpose(3, 0, 1, 2, 4)
+    return jnp.round(yt.astype(jnp.float32) - mu_tail).astype(jnp.int16)
+
+
+@jax.jit
+def _pack_all(syms, sym_tail, idxs, idx_tail):
+    """One packed [sym int8 | idx u8 | overflow-count u32] buffer,
+    slice-major stream order (same layout the fused encode_tpu emits;
+    see finish_compress), plus the flat int16 symbols for the rare
+    overflow fallback."""
+    y_sym = jnp.concatenate([jnp.stack(syms), sym_tail], axis=0)
+    idx_flat = jnp.concatenate(
+        [i.reshape(-1) for i in idxs] + [idx_tail.reshape(-1)]
+    )
+    y_flat = y_sym.reshape(-1)
+    y8 = jnp.clip(y_flat, -128, 127).astype(jnp.int8)
+    ovf = (y8.astype(jnp.int16) != y_flat).sum().astype(jnp.int32)
+    packed = jnp.concatenate([
+        jax.lax.bitcast_convert_type(y8, jnp.uint8),
+        idx_flat,
+        jax.lax.bitcast_convert_type(ovf[None], jnp.uint8).reshape(-1),
+    ])
+    return packed, y_flat
+
+
 @dataclass
 class Bitstream:
     """One coded latent: a y stream (all slices) + a z (hyper) stream."""
@@ -85,6 +128,7 @@ class CodecRuntime:
     def __init__(self, module, variables, encoder_xhat: bool = True):
         self.module = module
         self.variables = variables
+        self.encoder_xhat = encoder_xhat
         self.y_table: CdfTable | None = None
         self.z_table: CdfTable | None = None
 
@@ -117,6 +161,9 @@ class CodecRuntime:
         self._synthesize = jax.jit(
             lambda v, y_hat, cond: module.apply(v, y_hat, cond, method=mt.synthesize)
         )
+        self._encode_analysis = jax.jit(
+            lambda v, x, cond: module.apply(v, x, cond, method=mt.encode_analysis)
+        )
         self.update()
 
     # -- the reference's `update()`: (re)build integer CDF tables --------
@@ -134,10 +181,74 @@ class CodecRuntime:
     def start_compress(self, x, cond=None):
         """Dispatch the device encode (async); finish_compress() later.
 
-        Lets callers queue further device work (e.g. the P-frame MC
-        stage on the decoder-side MV reconstruction) before blocking on
-        the symbol pull, overlapping host rANS with device compute.
+        Bit-exact by construction: the encoder-only analysis (g_a/h_a +
+        hyper quantization) runs as its own program, then everything the
+        DECODER recomputes (hyper synthesis, per-slice entropy params,
+        slice reconstruction, synthesis) is produced by driving the
+        decoder's own jitted executables with the same inputs the decoder
+        will see.  Identical executables + identical inputs => identical
+        outputs, so symbols/indexes/reconstructions match the decoder
+        bitwise with NO cross-program float-determinism assumption (TPU
+        convs are not bitwise-reproducible across fusion contexts; the
+        old fused encode_tpu path is kept as start_compress_fused for
+        A/B).  All dispatches are async — no host sync until
+        finish_compress pulls the packed symbol buffer.
         """
+        a = self._encode_analysis(self.variables, x, cond)
+        return self.drive_exact(a, cond,
+                                with_finish=self.encoder_xhat)
+
+    def drive_exact(self, analysis, cond=None, finish_fn=None,
+                    with_finish=True):
+        """Run the decoder's executables over known y to produce the
+        encode outputs (see start_compress).  ``finish_fn`` fuses caller
+        stages into the tail dispatch exactly like _DecodeJob's; with
+        neither, the tail reconstruction/synthesis is skipped entirely
+        (symbols and indexes do not depend on it)."""
+        v = self.variables
+        z_sym, y = analysis["z_sym"], analysis["y"]
+        y_shape = (int(y.shape[1]), int(y.shape[2]))
+        ms = self.module.max_support_slices
+
+        means, scales = self._decode_hyper(v, z_sym, y_shape, cond)
+        mu, idx = self._decode_params(v, means, scales, cond)
+        y_hat_prev = None
+        syms, idxs = [], []
+        for i in range(1, ms + 1):
+            sym = _quant_head(y, mu, i - 1)
+            syms.append(sym)
+            idxs.append(idx)
+            y_hat_prev, mu, idx = self._decode_step(
+                v, means, scales, y_hat_prev, mu, sym, cond, i
+            )
+        # tail: mu is (n_tail, B, H, W, d) stacked slice-major, idx is the
+        # concatenated tail indexes (decode_step's i==ms output)
+        sym_tail = _quant_tail(y, mu, ms)
+        packed, y_sym_flat = _pack_all(syms, sym_tail, idxs, idx)
+        out = {
+            "z_sym": z_sym,
+            "y_packed": packed,
+            "y_sym": y_sym_flat,
+            "y_shape": y_shape,
+        }
+        if finish_fn is not None:
+            out["fin"] = finish_fn(means, y_hat_prev, mu, sym_tail, cond)
+        elif with_finish:
+            out["fin"] = self._decode_finish(
+                v, means, y_hat_prev, mu, sym_tail, cond
+            )
+        if out.get("fin") is not None:
+            out["y_hat"] = out["fin"].get("y_hat")
+            if "x_hat" in out["fin"]:
+                out["x_hat"] = out["fin"]["x_hat"]
+        return out
+
+    def start_compress_fused(self, x, cond=None):
+        """The one-dispatch fused encoder (encode_tpu).  Fastest single
+        program, but its entropy parameters come from a DIFFERENT XLA
+        program than the decoder's — bit-exactness then rests on
+        cross-program float determinism, which does not hold for TPU
+        conv fusions.  Kept for A/B measurement only."""
         return self._encode(self.variables, x, cond)
 
     def finish_compress(self, out) -> Bitstream:
@@ -172,12 +283,15 @@ class CodecRuntime:
         }
 
         self._last_encode = out  # encoder-side reconstructions, reusable
-        # True y spatial dims from y_hat's static shape (B, H, W, M) —
-        # NOT derived as z*4, which silently corrupts every decode when
-        # input padding makes y indivisible by 4 (ADVICE r2 #1).
-        # decode_hyper crops its upsampled params to this shape, so any
-        # y <= z*4 decodes correctly.
-        y_h, y_w = int(out["y_hat"].shape[1]), int(out["y_hat"].shape[2])
+        # True y spatial dims from static shape metadata — NOT derived as
+        # z*4, which silently corrupts every decode when input padding
+        # makes y indivisible by 4 (ADVICE r2 #1).  decode_hyper crops
+        # its upsampled params to this shape, so any y <= z*4 decodes
+        # correctly.
+        if "y_shape" in out:
+            y_h, y_w = out["y_shape"]
+        else:
+            y_h, y_w = int(out["y_hat"].shape[1]), int(out["y_hat"].shape[2])
         z_h, z_w = int(z_sym.shape[1]), int(z_sym.shape[2])
         if not (z_h * 4 >= y_h > (z_h - 1) * 4 and z_w * 4 >= y_w > (z_w - 1) * 4):
             raise ValueError(
@@ -271,16 +385,32 @@ class _DecodeJob:
 
         if self.done:
             return True
+        t0 = _time.perf_counter()
+        idx_h = np.asarray(self._idx)
+        return self.consume(idx_h, _time.perf_counter() - t0)
+
+    def consume(self, idx_h, pull_t: float = 0.0) -> bool:
+        """Advance one round given the already-pulled host indexes.
+
+        Callers coordinating several jobs (PFrameDecodeJob) concatenate
+        the jobs' idx tensors on device and make ONE host pull per round
+        — through a relay every separate transfer pays full sync latency
+        — then feed each job its slice here.  The device executables are
+        unchanged (concat is lossless), so encoder/decoder bit-exactness
+        is unaffected."""
+        import time as _time
+
+        if self.done:
+            return True
         rt, cond, batch = self.rt, self.cond, self.batch
         H, W = self.bs.y_shape
         means, scales = self._latents
         ms = rt.module.max_support_slices
 
-        t0 = _time.perf_counter()
-        idx_h = np.asarray(self._idx)
         t1 = _time.perf_counter()
-        sym = self._dec.decode_stream(idx_h, rt.y_table)
+        sym = self._dec.decode_stream(np.ascontiguousarray(idx_h), rt.y_table)
         t2 = _time.perf_counter()
+        t0 = t1 - pull_t
 
         if self._i <= ms:
             sym = jnp.asarray(sym.astype(np.int16).reshape(batch, H, W, -1))

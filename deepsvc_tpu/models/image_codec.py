@@ -23,15 +23,19 @@ TPU-first design decisions (vs. the reference's CUDA/torch structure):
 - Hyper-synthesis outputs are cropped to the y-shape once, right after
   synthesis, rather than per-slice (reference: image_model.py:175).
 - Entropy math stays f32; transforms may run bf16.
-- The entropy-PARAMETER networks (h_mean_s/h_scale_s/cc_*) always run
-  f32 regardless of the model dtype: the encoder evaluates them inside
-  one fused program while the decoder evaluates them across per-round
-  programs, and TPU bf16 convs are NOT bitwise-reproducible across
-  different fusion contexts — a last-bit scale difference flips a CDF
-  row index and desynchronizes the rANS stream catastrophically
-  (measured: full-frame corruption at 1080p bf16; f32 convs are
-  cross-program deterministic on TPU).  These nets run at the latent's
-  /16 spatial resolution, so the f32 cost is a few ms/frame.
+- Encoder/decoder bit-exactness is STRUCTURAL, not assumed: the encoder
+  computes entropy parameters and reconstructions by driving the
+  decoder's own jitted executables over known y
+  (encode_analysis + codec_runtime.drive_exact).  TPU convs are not
+  bitwise-reproducible across different fusion contexts, so any design
+  that evaluates h_mean_s/h_scale_s/cc_* in one fused program at encode
+  and per-round programs at decode (the old encode_tpu path, kept for
+  A/B) desyncs the rANS stream when a last-bit scale difference flips a
+  CDF row index (measured: full-frame corruption at 1080p bf16).
+- The entropy-PARAMETER networks still run f32 regardless of the model
+  dtype — for parameter *quality* (mu/sigma precision directly sets the
+  rate), not for determinism.  They run at the latent's /16 spatial
+  resolution, so the f32 cost is a few ms/frame.
 """
 
 from __future__ import annotations
@@ -223,6 +227,22 @@ class ChannelARBase(nn.Module):
         return self.forward(x_in, cond, rng=rng, training=training)
 
     # ----------------------- real-bitstream paths -----------------------
+
+    def encode_analysis(self, x_in, cond=None):
+        """Encoder-only analysis: g_a + h_a + hyper quantization.
+
+        Everything downstream (entropy parameters, slice reconstruction,
+        synthesis) is computed by driving the DECODER's own jitted
+        executables (CodecRuntime.encode_exact), so encoder and decoder
+        state are bit-identical by construction — no cross-program float
+        determinism assumption (module docstring; the fused encode_tpu
+        relies on one).
+        """
+        y = self.g_a(self._encoder_input(x_in, cond))
+        z = self._hyper(y)
+        medians = self.entropy_bottleneck.medians()
+        z_sym = jnp.round(z - medians).astype(jnp.int16)
+        return {"z_sym": z_sym, "y": y.astype(jnp.float32)}
 
     def encode_tpu(self, x_in, cond=None, with_xhat=True):
         """Whole-encode on device: dense symbols/indexes, one transfer.

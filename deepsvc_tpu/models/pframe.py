@@ -166,10 +166,25 @@ class PFrameCodec(nn.Module):
         feature, recon = self.enhance(jnp.concatenate([recon_fea, warp_fea], axis=-1))
         return feature, recon
 
-    # ---------------- fused bitstream-runtime programs ------------------
-    # One dispatch each: through a relay (and on PCIe) every dispatch pays
-    # fixed latency, and XLA fuses better across stage boundaries than the
-    # 6-dispatch staged chain (pframe_runtime timing, VERDICT r2 item 2).
+    # ---------------- bitstream-runtime programs ------------------------
+    # Encoder-only analysis programs (fused big dispatches); everything
+    # the decoder recomputes is then driven through the decoder's own
+    # executables for bitwise encoder/decoder agreement
+    # (codec_runtime.start_compress).
+
+    def encode_mv_analysis(self, ref, curr):
+        """Motion estimation + MV-codec analysis, one dispatch."""
+        return self.mv_codec.encode_analysis(self.motion_analysis(ref, curr))
+
+    def encode_res_analysis(self, ref, curr, predict_frame, predict_fea):
+        """Residual-codec analysis (given the MC outputs), one dispatch."""
+        return self.res_codec.encode_analysis(
+            self.res_input(ref, curr, predict_frame, predict_fea)
+        )
+
+    # -- fused one-dispatch encoder (A/B only: entropy params come from a
+    # different XLA program than the decoder's, so bit-exactness rests on
+    # cross-program float determinism — see codec_runtime docstrings).
 
     def encode_frame(self, ref, curr, sm_fea, feature=None, with_recon=True):
         """Whole P-frame encode as ONE program: motion -> MV encode ->

@@ -14,6 +14,13 @@ from .image_codec import ConditionalCodec
 from .pframe import PFrameCodec
 
 
+# one flat uint8 buffer from two jobs' per-round index tensors: a single
+# device->host pull serves both chains (see PFrameDecodeJob.step)
+_concat_flat = jax.jit(
+    lambda a, b: jax.numpy.concatenate([a.reshape(-1), b.reshape(-1)])
+)
+
+
 class PFrameRuntime:
     def __init__(self, module: PFrameCodec, variables):
         self.module = module
@@ -53,17 +60,19 @@ class PFrameRuntime:
                 v, ref, res1, pfe, wfe, method=mt.recon_stage
             )
         )
-        # fused one-dispatch programs (encode whole frame; decode tails
-        # merged with MC / reconstruction) — every dispatch pays fixed
-        # relay/PCIe latency, and XLA fuses across the stage boundaries
-        self._encode_full = jax.jit(
-            lambda v, ref, curr, sm, feat: module.apply(
-                v, ref, curr, sm, feat, True, method=mt.encode_frame
+        # encoder-only analysis programs (big fused dispatches); the rest
+        # of the encode drives the decoder's executables so encoder and
+        # decoder state agree bitwise (codec_runtime.start_compress).
+        # Decode tails stay merged with MC / reconstruction — every
+        # dispatch pays fixed relay/PCIe latency.
+        self._enc_mv = jax.jit(
+            lambda v, ref, curr: module.apply(
+                v, ref, curr, method=mt.encode_mv_analysis
             )
         )
-        self._encode_min = jax.jit(
-            lambda v, ref, curr, sm, feat: module.apply(
-                v, ref, curr, sm, feat, False, method=mt.encode_frame
+        self._enc_res = jax.jit(
+            lambda v, ref, curr, pf, pfe: module.apply(
+                v, ref, curr, pf, pfe, method=mt.encode_res_analysis
             )
         )
         self._mv_finish_mc = jax.jit(
@@ -82,6 +91,46 @@ class PFrameRuntime:
         self.mv_rt.update(force)
         self.res_rt.update(force)
 
+    def _encode_exact(self, ref, curr, sm_fea, feature, with_recon):
+        """Encode by driving the decoder's own executables (async, no
+        host sync): MV analysis -> MV entropy chain ending in the SAME
+        mv_finish_mc dispatch the decoder runs -> residual analysis ->
+        residual chain (ending in res_finish_recon when ``with_recon``).
+        Identical executables + identical inputs make every symbol,
+        index and reconstructed tensor bitwise equal to the decoder's."""
+        v = self.variables
+        a_mv = self._enc_mv(v, ref, curr)
+        mv_enc = self.mv_rt.drive_exact(
+            a_mv, None,
+            finish_fn=lambda means, prev, mu, syms, cond: self._mv_finish_mc(
+                v, means, prev, mu, syms, ref, sm_fea, feature
+            ),
+        )
+        mc = mv_enc["fin"]["mc"]
+        a_res = self._enc_res(v, ref, curr, mc["predict_frame"],
+                              mc["predict_fea"])
+        if with_recon:
+            res_enc = self.res_rt.drive_exact(
+                a_res, None,
+                finish_fn=lambda means, prev, mu, syms, cond:
+                    self._res_finish_recon(
+                        v, means, prev, mu, syms, ref,
+                        mc["predict_fea"], mc["warp_fea"]
+                    ),
+            )
+        else:
+            # symbols/indexes do not depend on the tail reconstruction;
+            # the serial protocol takes recon/feature from the decode
+            res_enc = self.res_rt.drive_exact(a_res, None, with_finish=False)
+        h = {"mv_enc": mv_enc, "res_enc": res_enc, "mc": mc}
+        if with_recon:
+            h["recon"] = res_enc["fin"]["recon"]
+            h["feature"] = res_enc["fin"]["feature"]
+        for enc in (mv_enc, res_enc):
+            for k in ("z_sym", "y_packed"):
+                enc[k].copy_to_host_async()
+        return h
+
     def compress_pipelined(self, ref, curr, sm_fea, feature=None):
         """Encode AND reconstruct the decoder state fully on the encoder
         side (async dispatch; nothing blocks).
@@ -95,18 +144,10 @@ class PFrameRuntime:
 
         Returns dict(mv_enc, res_enc, mc, recon, feature); call
         finish(handles) to pull symbols and produce the bitstreams.
-
-        The whole frame is ONE device dispatch (PFrameCodec.encode_frame):
-        motion, MV encode, MC, residual encode, decoder-state synthesis
-        and reconstruction — the encoder-side synthesis runs the same ops
-        on the same integer y_hat as the decoder's decode_finish, so the
-        streams stay bit-identical.
+        recon/feature are BITWISE what the decoder will reconstruct
+        (_encode_exact), so the recurrent streams cannot drift.
         """
-        h = self._encode_full(self.variables, ref, curr, sm_fea, feature)
-        for enc in (h["mv_enc"], h["res_enc"]):
-            for k in ("z_sym", "y_packed"):
-                enc[k].copy_to_host_async()
-        return h
+        return self._encode_exact(ref, curr, sm_fea, feature, True)
 
     def finish(self, handles) -> tuple:
         """Block on symbol pulls + host rANS for a compress_pipelined()."""
@@ -118,18 +159,13 @@ class PFrameRuntime:
         """Returns (mv_bitstream, res_bitstream).
 
         Like the reference encoder (video_model.py:137-151), the decoder
-        state is reconstructed on the encoder side so downstream frames
-        reference the exact decoded tensors.  One device dispatch (no
-        synthesis/recon — the serial protocol takes them from decode).
-        """
-        h = self._encode_min(self.variables, ref, curr, sm_fea, feature)
-        mv_enc, res_enc = h["mv_enc"], h["res_enc"]
-        # overlap all device->host symbol/index transfers
-        for enc in (mv_enc, res_enc):
-            for k in ("z_sym", "y_packed"):
-                enc[k].copy_to_host_async()
-        mv_bs = self.mv_rt.finish_compress(mv_enc)
-        res_bs = self.res_rt.finish_compress(res_enc)
+        state the residual depends on (decoded MV -> MC) is reconstructed
+        on the encoder side — with the decoder's executables, so it is
+        bitwise the decoder's state.  The final synthesis/recon is
+        skipped (the serial protocol takes them from decode)."""
+        h = self._encode_exact(ref, curr, sm_fea, feature, False)
+        mv_bs = self.mv_rt.finish_compress(h["mv_enc"])
+        res_bs = self.res_rt.finish_compress(h["res_enc"])
         return mv_bs, res_bs
 
     def start_decompress(self, ref, mv_bs: Bitstream, res_bs: Bitstream,
@@ -194,19 +230,38 @@ class PFrameDecodeJob:
         self.result = None
 
     def step(self) -> bool:
-        """One interleaved host round; returns self.done."""
+        """One interleaved host round; returns self.done.
+
+        The MV and residual chains advance in lockstep (same
+        max_support_slices), so their per-round index tensors are
+        concatenated on device and pulled in ONE transfer — through a
+        relay every separate pull pays full sync latency.  The decode
+        executables are untouched (concat is lossless), preserving
+        encoder/decoder bit-exactness."""
+        import time as _time
+
         import jax.numpy as jnp
+        import numpy as np
 
         if self.done:
             return True
-        self.mv_job.prefetch()
-        self.res_job.prefetch()
-        if not self.mv_job.done:
-            self.mv_job.advance()
+        a = None if self.mv_job.done else self.mv_job._idx
+        b = None if self.res_job.done else self.res_job._idx
+        t0 = _time.perf_counter()
+        if a is not None and b is not None:
+            na = int(np.prod(a.shape))
+            both = np.asarray(_concat_flat(a, b))
+            pull_t = _time.perf_counter() - t0
+            self.mv_job.consume(both[:na], pull_t)
             if self.mv_job.done:
                 self.mc = self.mv_job.result["mc"]
-        if not self.res_job.done:
-            self.res_job.advance()
+            self.res_job.consume(both[na:], 0.0)
+        elif a is not None:
+            self.mv_job.consume(np.asarray(a), _time.perf_counter() - t0)
+            if self.mv_job.done:
+                self.mc = self.mv_job.result["mc"]
+        elif b is not None:
+            self.res_job.consume(np.asarray(b), _time.perf_counter() - t0)
         if self.mv_job.done and self.res_job.done:
             fin = self.res_job.result
             self.result = {

@@ -47,7 +47,7 @@ class SemanticRuntime:
         """
         t0 = time.perf_counter()
         bs = self.codec_rt.compress(x_norm, cond=supp[-1])
-        jax.block_until_ready(self.codec_rt._last_encode["y_hat"])
+        jax.block_until_ready(self.codec_rt._last_encode["y_packed"])
         self.enc_time = time.perf_counter() - t0
 
         t0 = time.perf_counter()

@@ -1,0 +1,107 @@
+"""Encoder/decoder bit-exactness of the real-bitstream path.
+
+The encoder drives the decoder's own jitted executables over known y
+(codec_runtime.start_compress / pframe_runtime._encode_exact), so every
+symbol, index, and reconstructed tensor must equal the decoder's
+BITWISE — not approximately.  These tests assert array_equal (exact)
+across a multi-frame recurrent chain, the property that keeps the
+P-frame recurrence from drifting (reference semantics:
+/root/reference/video_model.py:137-151, encoder reconstructs decoder
+state).
+
+CPU here; scripts/check_bitexact_tpu.py is the on-hardware twin (TPU
+convs are not bitwise-reproducible across fusion contexts, which is why
+the exact path exists — the fused encode_tpu path is A/B only).
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsvc_tpu.models import (
+    CodecRuntime,
+    ImageCodec,
+    PFrameCodec,
+    PFrameRuntime,
+    init_pframe_variables,
+)
+
+
+@pytest.fixture(scope="module")
+def prt():
+    import jax
+
+    model = PFrameCodec(mv_latent=16, res_latent=16)
+    variables = init_pframe_variables(model, jax.random.PRNGKey(0), H=64, W=64)
+    return PFrameRuntime(model, variables)
+
+
+def _frames(n, h=64, w=64):
+    rng = np.random.default_rng(3)
+    return [jnp.asarray(rng.random((1, h, w, 3), np.float32)) for _ in range(n)]
+
+
+def _decode(rt, ref, mv_bs, res_bs, sm, feat):
+    job = rt.start_decompress(ref, mv_bs, res_bs, sm, feat)
+    while not job.step():
+        pass
+    return job.result
+
+
+class TestPFrameBitExact:
+    def test_pipelined_recon_equals_decode_bitwise_over_chain(self, prt):
+        """3-frame recurrent chain: encoder-side recon/feature from
+        compress_pipelined must be BITWISE the decoder's, every frame."""
+        frames = _frames(4)
+        sm = jnp.zeros((1, 16, 16, 256), jnp.float32)
+        ref = feat = None
+        ref = frames[0]
+        for t in range(1, 4):
+            h = prt.compress_pipelined(ref, frames[t], sm, feat)
+            mv_bs, res_bs = prt.finish(h)
+            dec = _decode(prt, ref, mv_bs, res_bs, sm, feat)
+            np.testing.assert_array_equal(
+                np.asarray(dec["recon"]), np.asarray(h["recon"])
+            )
+            np.testing.assert_array_equal(
+                np.asarray(dec["feature"]), np.asarray(h["feature"])
+            )
+            ref, feat = h["recon"], h["feature"]
+
+    def test_serial_compress_decodes_consistently(self, prt):
+        """compress() (no encoder-side recon) must produce bitstreams the
+        decoder round-trips; its MV/MC state is the decoder's bitwise, so
+        re-encoding from decode outputs matches compress_pipelined."""
+        frames = _frames(3)
+        sm = jnp.zeros((1, 16, 16, 256), jnp.float32)
+        mv_bs, res_bs = prt.compress(frames[0], frames[1], sm, None)
+        dec = _decode(prt, frames[0], mv_bs, res_bs, sm, None)
+        h = prt.compress_pipelined(frames[0], frames[1], sm, None)
+        mv_bs2, res_bs2 = prt.finish(h)
+        assert mv_bs2.y_string == mv_bs.y_string
+        assert mv_bs2.z_string == mv_bs.z_string
+        assert res_bs2.y_string == res_bs.y_string
+        np.testing.assert_array_equal(
+            np.asarray(dec["recon"]), np.asarray(h["recon"])
+        )
+
+
+class TestImageCodecBitExact:
+    def test_encoder_xhat_equals_decode_bitwise(self):
+        import jax
+
+        m = ImageCodec(N=32, M=40, num_slices=5, max_support_slices=2)
+        x = jnp.asarray(np.random.default_rng(0).random((1, 64, 64, 3), np.float32))
+        variables = jax.jit(
+            lambda r: m.init({"params": r}, x, rng=jax.random.PRNGKey(1))
+        )(jax.random.PRNGKey(0))
+        rt = CodecRuntime(m, variables)
+        out = rt.start_compress(x)
+        bs = rt.finish_compress(out)
+        dec = rt.decompress(bs)
+        np.testing.assert_array_equal(
+            np.asarray(dec["y_hat"]), np.asarray(out["y_hat"])
+        )
+        np.testing.assert_array_equal(
+            np.asarray(dec["x_hat"]), np.asarray(out["x_hat"])
+        )
