@@ -152,6 +152,30 @@ def main():
     val_iter = val_batches()
     prev_step = int(trainer.state.step)
 
+    # The TPU is reached through a tunnel that can drop mid-compile
+    # (observed: "remote_compile: response body closed" killing a 66-min
+    # run at its first validation). Those failures are transient; retry
+    # with backoff instead of losing the run.
+    TRANSIENT = ("remote_compile", "read body", "UNAVAILABLE",
+                 "DEADLINE_EXCEEDED", "Connection reset", "Socket closed")
+
+    def retry_transient(what, fn, *a, **kw):
+        for attempt in range(4):
+            try:
+                return fn(*a, **kw)
+            except jax.errors.JaxRuntimeError as e:
+                msg = str(e)
+                if attempt == 3 or not any(s in msg for s in TRANSIENT):
+                    raise
+                wait = 15 * (attempt + 1)
+                logger.warning(
+                    f"{what}: transient backend error (attempt {attempt + 1}), "
+                    f"retrying in {wait}s: {msg.splitlines()[0][:200]}"
+                )
+                for h in logger.handlers:
+                    h.flush()
+                time.sleep(wait)
+
     def crossed(period: int, lo: int, hi: int) -> bool:
         return lo // period != hi // period
 
@@ -187,7 +211,7 @@ def main():
                 h.flush()
             prev_band = band
         t_step = time.perf_counter()
-        metrics = trainer.train_batch(frames, sms)
+        metrics = retry_transient("train_batch", trainer.train_batch, frames, sms)
         meter.update(float(metrics["loss"]))
         step = int(trainer.state.step)
         step_s = time.perf_counter() - t_step
@@ -203,24 +227,35 @@ def main():
             writer.add_scalars(
                 {k: float(v) for k, v in metrics.items()}, step, prefix="train_"
             )
-        if crossed(args.val_every, prev_step, step):
-            # held-out validation + best-loss checkpointing (Learner.py:491-493)
-            val_frames = jnp.asarray(next(val_iter))
-            val_sms = jnp.zeros(
-                (val_frames.shape[0], val_frames.shape[1],
-                 args.crop // 4, args.crop // 4, 256),
-                jnp.float32,
-            )
-            val = trainer.validate_batch(val_frames, val_sms)
-            writer.add_scalars(val, step, prefix="val_")
-            logger.info(f"validate @{step}: {val}")
-            if val["loss"] < best_val_loss:
-                best_val_loss = val["loss"]
-                ckpt.save(step, trainer.state, metrics={"val_loss": val["loss"]})
         if crossed(args.ckpt_every, prev_step, step):
             # periodic forced save so a killed run still leaves a restorable
-            # checkpoint (Learner.py:155-156 role)
+            # checkpoint (Learner.py:155-156 role); saved BEFORE validation so
+            # a validation failure can never lose training progress
             ckpt.save(step, trainer.state, force=True)
+        if crossed(args.val_every, prev_step, step):
+            # held-out validation + best-loss checkpointing (Learner.py:491-493);
+            # non-fatal: validation uses a separate compiled graph whose first
+            # compile is a fresh tunnel round trip — never let it kill the run
+            try:
+                val_frames = jnp.asarray(next(val_iter))
+                val_sms = jnp.zeros(
+                    (val_frames.shape[0], val_frames.shape[1],
+                     args.crop // 4, args.crop // 4, 256),
+                    jnp.float32,
+                )
+                val = retry_transient(
+                    "validate", trainer.validate_batch, val_frames, val_sms
+                )
+                writer.add_scalars(val, step, prefix="val_")
+                logger.info(f"validate @{step}: {val}")
+                if val["loss"] < best_val_loss:
+                    best_val_loss = val["loss"]
+                    ckpt.save(step, trainer.state,
+                              metrics={"val_loss": val["loss"]})
+            except Exception as e:  # noqa: BLE001 — training must survive
+                logger.warning(f"validation @{step} failed (continuing): {e}")
+                for h in logger.handlers:
+                    h.flush()
         prev_step = step
         if args.steps is not None and step >= args.steps:
             break
