@@ -148,10 +148,14 @@ def main_tpu(args):
     errs = []  # device-side max-|err| scalars, pulled after the timed loop
     for t in range(n_pipe):
         curr = frames[2 + (t % (len(frames) - 2))]
-        h = rt.compress_pipelined(ref_e, curr, sm, feat_e)
+        # pump: frame t-1's decode rounds interleave into the dispatch
+        # queue BETWEEN this encode's chunks (in-order execution would
+        # otherwise park every decode round behind the whole encode)
+        pump = pending[0].step if pending is not None else None
+        h = rt.compress_pipelined(ref_e, curr, sm, feat_e, pump=pump)
         if pending is not None:
             job, enc_recon = pending
-            while not job.step():  # host rounds overlap queued encode work
+            while not job.step():  # drain any rounds the pump didn't reach
                 pass
             errs.append(
                 jnp.abs(

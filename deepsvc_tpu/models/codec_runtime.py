@@ -199,12 +199,22 @@ class CodecRuntime:
                                 with_finish=self.encoder_xhat)
 
     def drive_exact(self, analysis, cond=None, finish_fn=None,
-                    with_finish=True):
+                    with_finish=True, pump=None):
         """Run the decoder's executables over known y to produce the
         encode outputs (see start_compress).  ``finish_fn`` fuses caller
         stages into the tail dispatch exactly like _DecodeJob's; with
         neither, the tail reconstruction/synthesis is skipped entirely
-        (symbols and indexes do not depend on it)."""
+        (symbols and indexes do not depend on it).
+
+        ``pump``: optional callable invoked between dispatch groups.  TPU
+        programs execute in dispatch order, so an in-flight decode job
+        whose rounds are driven only AFTER the whole encode is queued
+        stalls every round behind the full encode (the r2/r3-mid bench:
+        pipelined fps == serial fps).  A pump hook lets the caller advance
+        that job's host rounds *between* encode dispatches — its small
+        device steps interleave into the queue and each pull waits only
+        for work queued so far.  Pumping changes dispatch ORDER only,
+        never any program or its inputs, so bit-exactness is unaffected."""
         v = self.variables
         z_sym, y = analysis["z_sym"], analysis["y"]
         y_shape = (int(y.shape[1]), int(y.shape[2]))
@@ -212,6 +222,8 @@ class CodecRuntime:
 
         means, scales = self._decode_hyper(v, z_sym, y_shape, cond)
         mu, idx = self._decode_params(v, means, scales, cond)
+        if pump is not None:
+            pump()
         y_hat_prev = None
         syms, idxs = [], []
         for i in range(1, ms + 1):
@@ -221,6 +233,8 @@ class CodecRuntime:
             y_hat_prev, mu, idx = self._decode_step(
                 v, means, scales, y_hat_prev, mu, sym, cond, i
             )
+            if pump is not None:
+                pump()
         # tail: mu is (n_tail, B, H, W, d) stacked slice-major, idx is the
         # concatenated tail indexes (decode_step's i==ms output)
         sym_tail = _quant_tail(y, mu, ms)

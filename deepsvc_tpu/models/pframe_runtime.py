@@ -91,24 +91,34 @@ class PFrameRuntime:
         self.mv_rt.update(force)
         self.res_rt.update(force)
 
-    def _encode_exact(self, ref, curr, sm_fea, feature, with_recon):
+    def _encode_exact(self, ref, curr, sm_fea, feature, with_recon,
+                      pump=None):
         """Encode by driving the decoder's own executables (async, no
         host sync): MV analysis -> MV entropy chain ending in the SAME
         mv_finish_mc dispatch the decoder runs -> residual analysis ->
         residual chain (ending in res_finish_recon when ``with_recon``).
         Identical executables + identical inputs make every symbol,
-        index and reconstructed tensor bitwise equal to the decoder's."""
+        index and reconstructed tensor bitwise equal to the decoder's.
+
+        ``pump``: optional callable advanced between dispatch groups so a
+        concurrent decode job's host rounds interleave with this encode's
+        queued device work (codec_runtime.drive_exact)."""
         v = self.variables
         a_mv = self._enc_mv(v, ref, curr)
+        if pump is not None:
+            pump()
         mv_enc = self.mv_rt.drive_exact(
             a_mv, None,
             finish_fn=lambda means, prev, mu, syms, cond: self._mv_finish_mc(
                 v, means, prev, mu, syms, ref, sm_fea, feature
             ),
+            pump=pump,
         )
         mc = mv_enc["fin"]["mc"]
         a_res = self._enc_res(v, ref, curr, mc["predict_frame"],
                               mc["predict_fea"])
+        if pump is not None:
+            pump()
         if with_recon:
             res_enc = self.res_rt.drive_exact(
                 a_res, None,
@@ -117,11 +127,13 @@ class PFrameRuntime:
                         v, means, prev, mu, syms, ref,
                         mc["predict_fea"], mc["warp_fea"]
                     ),
+                pump=pump,
             )
         else:
             # symbols/indexes do not depend on the tail reconstruction;
             # the serial protocol takes recon/feature from the decode
-            res_enc = self.res_rt.drive_exact(a_res, None, with_finish=False)
+            res_enc = self.res_rt.drive_exact(a_res, None, with_finish=False,
+                                              pump=pump)
         h = {"mv_enc": mv_enc, "res_enc": res_enc, "mc": mc}
         if with_recon:
             h["recon"] = res_enc["fin"]["recon"]
@@ -131,7 +143,7 @@ class PFrameRuntime:
                 enc[k].copy_to_host_async()
         return h
 
-    def compress_pipelined(self, ref, curr, sm_fea, feature=None):
+    def compress_pipelined(self, ref, curr, sm_fea, feature=None, pump=None):
         """Encode AND reconstruct the decoder state fully on the encoder
         side (async dispatch; nothing blocks).
 
@@ -142,12 +154,18 @@ class PFrameRuntime:
         rANS rounds hide under encoder device compute (the bench's
         pipelined mode; VERDICT r2 item 2).
 
+        ``pump``: pass the in-flight decode job's ``step`` so its host
+        rounds interleave with this encode's dispatch groups (dispatch-
+        order-only change; see codec_runtime.drive_exact).  Without it,
+        TPU in-order execution queues every decode round behind the whole
+        encode and pipelining hides only the first round's stall.
+
         Returns dict(mv_enc, res_enc, mc, recon, feature); call
         finish(handles) to pull symbols and produce the bitstreams.
         recon/feature are BITWISE what the decoder will reconstruct
         (_encode_exact), so the recurrent streams cannot drift.
         """
-        return self._encode_exact(ref, curr, sm_fea, feature, True)
+        return self._encode_exact(ref, curr, sm_fea, feature, True, pump=pump)
 
     def finish(self, handles) -> tuple:
         """Block on symbol pulls + host rANS for a compress_pipelined()."""

@@ -68,6 +68,36 @@ class TestPFrameBitExact:
             )
             ref, feat = h["recon"], h["feature"]
 
+    def test_pumped_encode_bitwise_equals_unpumped(self, prt):
+        """The pump hook (interleaving a decode job's host rounds between
+        encode dispatch groups) changes dispatch ORDER only; bitstreams
+        and reconstructions must equal the unpumped encode's bitwise,
+        and the pumped job must decode to the encoder-side recon."""
+        frames = _frames(3)
+        sm = jnp.zeros((1, 16, 16, 256), jnp.float32)
+        # frame 1: plain encode, start its decode job
+        h1 = prt.compress_pipelined(frames[0], frames[1], sm, None)
+        mv1, res1 = prt.finish(h1)
+        job = prt.start_decompress(frames[0], mv1, res1, sm, None)
+        # frame 2: encode WITH the pump driving frame 1's decode rounds
+        h2p = prt.compress_pipelined(h1["recon"], frames[2], sm,
+                                     h1["feature"], pump=job.step)
+        mv2p, res2p = prt.finish(h2p)
+        while not job.step():
+            pass
+        np.testing.assert_array_equal(
+            np.asarray(job.result["recon"]), np.asarray(h1["recon"])
+        )
+        # reference: same frame-2 encode without any pump
+        h2 = prt.compress_pipelined(h1["recon"], frames[2], sm, h1["feature"])
+        mv2, res2 = prt.finish(h2)
+        assert mv2p.y_string == mv2.y_string
+        assert mv2p.z_string == mv2.z_string
+        assert res2p.y_string == res2.y_string
+        np.testing.assert_array_equal(
+            np.asarray(h2p["recon"]), np.asarray(h2["recon"])
+        )
+
     def test_serial_compress_decodes_consistently(self, prt):
         """compress() (no encoder-side recon) must produce bitstreams the
         decoder round-trips; its MV/MC state is the decoder's bitwise, so
