@@ -152,29 +152,11 @@ def main():
     val_iter = val_batches()
     prev_step = int(trainer.state.step)
 
-    # The TPU is reached through a tunnel that can drop mid-compile
-    # (observed: "remote_compile: response body closed" killing a 66-min
-    # run at its first validation). Those failures are transient; retry
-    # with backoff instead of losing the run.
-    TRANSIENT = ("remote_compile", "read body", "UNAVAILABLE",
-                 "DEADLINE_EXCEEDED", "Connection reset", "Socket closed")
+    # tunnel drops mid-compile are transient — never lose a run to one
+    from deepsvc_tpu.utils.retry import retry_transient as _retry
 
     def retry_transient(what, fn, *a, **kw):
-        for attempt in range(4):
-            try:
-                return fn(*a, **kw)
-            except jax.errors.JaxRuntimeError as e:
-                msg = str(e)
-                if attempt == 3 or not any(s in msg for s in TRANSIENT):
-                    raise
-                wait = 15 * (attempt + 1)
-                logger.warning(
-                    f"{what}: transient backend error (attempt {attempt + 1}), "
-                    f"retrying in {wait}s: {msg.splitlines()[0][:200]}"
-                )
-                for h in logger.handlers:
-                    h.flush()
-                time.sleep(wait)
+        return _retry(logger, what, fn, *a, **kw)
 
     def crossed(period: int, lo: int, hi: int) -> bool:
         return lo // period != hi // period
