@@ -24,9 +24,9 @@ while ! grep -q R3J_DONE $OUT/campaign.log 2>/dev/null; do sleep 60; done
 log R3K_START
 
 # ---- 1. semantic fine-tune (reference step 2) -----------------------------
-timeout 7000 python train_semantic.py --lambda-rd 320 --metric mse \
-  --synthetic --batch-size 2 --crop 256 --frames 5 --steps 250 \
-  --ckpt-every 125 --checkpoint-root $OUT --log-root $OUT
+timeout 5400 python train_semantic.py --lambda-rd 320 --metric mse \
+  --synthetic --batch-size 2 --crop 256 --frames 5 --steps 150 \
+  --ckpt-every 75 --checkpoint-root $OUT --log-root $OUT
 log "SEMFT_DONE rc=$?"
 cp -v $OUT/semantic_ft_mse_320/train_*.log results/train_semft320.log
 cp -v $OUT/semantic_ft_mse_320/summary/scalars.jsonl \
@@ -37,8 +37,8 @@ STAGE=$OUT/semft_stage
 rm -rf $STAGE; mkdir -p $STAGE
 ln -s ../semantic_ft_mse_320 $STAGE/mse_320
 ln -s ../image_mse_320 $STAGE/image_mse_320
-timeout 6000 python test_video_tpu.py --synthetic --dataset synthetic \
-  --metric mse --lambdas 320 --checkpoint-root $STAGE --frames 25 \
+timeout 4500 python test_video_tpu.py --synthetic --dataset synthetic \
+  --metric mse --lambdas 320 --checkpoint-root $STAGE --frames 13 \
   --output $OUT/eval_semft_320
 log "EVSEMFT_DONE rc=$?"
 cp -v $OUT/eval_semft_320/MSE/synthetic/synthetic_MSE.json \
