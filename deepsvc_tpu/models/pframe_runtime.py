@@ -20,6 +20,12 @@ _concat_flat = jax.jit(
     lambda a, b: jax.numpy.concatenate([a.reshape(-1), b.reshape(-1)])
 )
 
+# N-ary variant for GOP-interleaved decode: ONE pull serves every live
+# chain of every in-flight frame (retraces once per chain count)
+_concat_flat_n = jax.jit(
+    lambda *xs: jax.numpy.concatenate([x.reshape(-1) for x in xs])
+)
+
 
 class PFrameRuntime:
     def __init__(self, module: PFrameCodec, variables):
@@ -214,6 +220,78 @@ class PFrameRuntime:
         self.res_rt.timings = {**getattr(self.res_rt, "timings", {}),
                                "dec_steps": job.res_job.times}
         return job.result
+
+    def decompress_gop(self, ref, streams, sm_fea, feature=None):
+        """Decode a stored run of P-frames with their entropy chains
+        INTERLEAVED across frames (serving path; no reference analog —
+        the reference decodes strictly frame-by-frame,
+        video_model.py:153-167).
+
+        The channel-AR chains are data-independent across frames (the
+        recurrent conditioning enters only at the MC/reconstruction
+        tails), so every frame's per-round index tensors are
+        concatenated on device and ride ONE device->host pull per round:
+        the host-sync cost of a GOP drops from
+        frames x (max_support_slices+1) pulls to max_support_slices+1.
+        The MC/recon tails then run in frame order — pure queued device
+        work, no host rounds.
+
+        ``streams``: list of (mv_bs, res_bs) for consecutive P-frames.
+        Returns a list of per-frame result dicts (same schema as
+        decompress()); results are BITWISE identical to sequential
+        decompress() calls (same executables, same inputs — only the
+        pull batching differs).  Stall seconds per round are recorded in
+        self.gop_times."""
+        import time as _time
+
+        import numpy as np
+
+        v = self.variables
+        batch = int(ref.shape[0])
+        defer = lambda means, prev, mu, syms, cond: {
+            "means": means, "prev": prev, "mu": mu, "syms": syms
+        }
+        jobs = []  # (mv_job, res_job) per frame, tails deferred
+        for mv_bs, res_bs in streams:
+            jobs.append((
+                self.mv_rt.start_decompress(mv_bs, batch=batch, finish_fn=defer),
+                self.res_rt.start_decompress(res_bs, batch=batch, finish_fn=defer),
+            ))
+        self.gop_times = []
+        while True:
+            live = [j for fr in jobs for j in fr if not j.done]
+            if not live:
+                break
+            t0 = _time.perf_counter()
+            buf = np.asarray(_concat_flat_n(*[j._idx for j in live]))
+            pull_t = _time.perf_counter() - t0
+            self.gop_times.append(pull_t)
+            off = 0
+            for j in live:
+                n = int(np.prod(j._idx.shape))
+                j.consume(buf[off:off + n], pull_t if off == 0 else 0.0)
+                off += n
+        # conditional tails, frame order (async device dispatches only)
+        results = []
+        for mv_job, res_job in jobs:
+            m = mv_job.result
+            mc = self._mv_finish_mc(
+                v, m["means"], m["prev"], m["mu"], m["syms"], ref, sm_fea,
+                feature,
+            )["mc"]
+            r = res_job.result
+            fin = self._res_finish_recon(
+                v, r["means"], r["prev"], r["mu"], r["syms"], ref,
+                mc["predict_fea"], mc["warp_fea"],
+            )
+            results.append({
+                "feature": fin["feature"],
+                "recon": fin["recon"],
+                "warped": jax.numpy.clip(mc["warped"], 0.0, 1.0),
+                "predict_frame": jax.numpy.clip(mc["predict_frame"], 0.0, 1.0),
+            })
+            ref, feature = fin["recon"], fin["feature"]
+        return results
 
 
 class PFrameDecodeJob:

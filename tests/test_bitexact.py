@@ -115,6 +115,34 @@ class TestPFrameBitExact:
             np.asarray(dec["recon"]), np.asarray(h["recon"])
         )
 
+    def test_gop_interleaved_decode_bitwise_equals_sequential(self, prt):
+        """decompress_gop() (all frames' entropy chains on one pull per
+        round; MC/recon tails in frame order) must be BITWISE the
+        sequential per-frame decode — only pull batching differs."""
+        frames = _frames(4)
+        sm = jnp.zeros((1, 16, 16, 256), jnp.float32)
+        # encode a 3-P-frame chain with the pipelined encoder
+        streams, ref, feat = [], frames[0], None
+        for t in range(1, 4):
+            h = prt.compress_pipelined(ref, frames[t], sm, feat)
+            streams.append(prt.finish(h))
+            ref, feat = h["recon"], h["feature"]
+        # sequential decode chain
+        seq, ref, feat = [], frames[0], None
+        for mv_bs, res_bs in streams:
+            dec = _decode(prt, ref, mv_bs, res_bs, sm, feat)
+            seq.append(dec)
+            ref, feat = dec["recon"], dec["feature"]
+        # GOP-interleaved decode of the same streams
+        gop = prt.decompress_gop(frames[0], streams, sm, None)
+        assert len(gop) == len(seq)
+        # one pull per chain round for the WHOLE gop, not per frame
+        ms = prt.mv_rt.module.max_support_slices
+        assert len(prt.gop_times) == ms + 1
+        for s, g in zip(seq, gop):
+            for k in ("recon", "feature", "warped", "predict_frame"):
+                np.testing.assert_array_equal(np.asarray(s[k]), np.asarray(g[k]))
+
 
 class TestImageCodecBitExact:
     def test_encoder_xhat_equals_decode_bitwise(self):
