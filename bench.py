@@ -305,6 +305,12 @@ def main_tpu(args):
         # with no breakdown to compare).  The per-stage terms above exist
         # so any future discrepancy is attributable; medians over frames
         # reduce the noise.
+        "note": (
+            "r2 0.823-vs-0.722 discrepancy: single measurements on a "
+            "shared box with no breakdown; per-stage terms above now "
+            "attribute any gap (encode device vs host rANS vs decode "
+            "stalls), medians reduce noise"
+        ),
         **gop_leg,
         **i_leg,
     }
