@@ -49,6 +49,14 @@ def _quant_tail(y, mu_tail, ms):
     return jnp.round(yt.astype(jnp.float32) - mu_tail).astype(jnp.int16)
 
 
+# N-ary flat concat: ONE device->host pull serves every live stream's
+# per-round index tensor (decompress_many / pframe decompress_gop);
+# retraces once per live-stream count
+_concat_flat_n = jax.jit(
+    lambda *xs: jnp.concatenate([x.reshape(-1) for x in xs])
+)
+
+
 @jax.jit
 def _pack_all(syms, sym_tail, idxs, idx_tail):
     """One packed [sym int8 | idx u8 | overflow-count u32] buffer,
@@ -345,6 +353,36 @@ class CodecRuntime:
             job.advance()
         self.timings = {**getattr(self, "timings", {}), "dec_steps": job.times}
         return job.result
+
+    def decompress_many(self, streams: list, cond=None, batch: int = 1):
+        """Decode several independent bitstreams (e.g. the I-frames of
+        many serving streams) with their channel-AR chains INTERLEAVED:
+        every live job's per-round index tensor is concatenated on
+        device and pulled in ONE transfer, so the fixed host-sync
+        latency amortizes over the streams instead of costing
+        (max_support_slices+1) round trips each.  Results are BITWISE
+        identical to per-stream decompress() (same executables, same
+        inputs — only the pull batching differs).  The reference
+        decodes strictly one stream at a time
+        (/root/reference/image_model.py:259-302)."""
+        import time as _time
+
+        jobs = [self.start_decompress(bs, cond, batch) for bs in streams]
+        self.many_times = []
+        while True:
+            live = [j for j in jobs if not j.done]
+            if not live:
+                break
+            t0 = _time.perf_counter()
+            buf = np.asarray(_concat_flat_n(*[j._idx for j in live]))
+            pull_t = _time.perf_counter() - t0
+            self.many_times.append(pull_t)
+            off = 0
+            for j in live:
+                n = int(np.prod(j._idx.shape))
+                j.consume(buf[off:off + n], pull_t if off == 0 else 0.0)
+                off += n
+        return [j.result for j in jobs]
 
 
 class _DecodeJob:

@@ -9,7 +9,7 @@ from __future__ import annotations
 import jax
 import numpy as np
 
-from .codec_runtime import Bitstream, CodecRuntime
+from .codec_runtime import Bitstream, CodecRuntime, _concat_flat_n
 from .image_codec import ConditionalCodec
 from .pframe import PFrameCodec
 
@@ -20,11 +20,6 @@ _concat_flat = jax.jit(
     lambda a, b: jax.numpy.concatenate([a.reshape(-1), b.reshape(-1)])
 )
 
-# N-ary variant for GOP-interleaved decode: ONE pull serves every live
-# chain of every in-flight frame (retraces once per chain count)
-_concat_flat_n = jax.jit(
-    lambda *xs: jax.numpy.concatenate([x.reshape(-1) for x in xs])
-)
 
 
 class PFrameRuntime:

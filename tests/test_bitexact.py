@@ -163,3 +163,25 @@ class TestImageCodecBitExact:
         np.testing.assert_array_equal(
             np.asarray(dec["x_hat"]), np.asarray(out["x_hat"])
         )
+
+    def test_interleaved_multistream_decode_bitwise_equals_sequential(self):
+        """decompress_many (all streams' chains on one pull per round)
+        must be BITWISE the per-stream decode."""
+        import jax
+
+        m = ImageCodec(N=32, M=40, num_slices=5, max_support_slices=2)
+        rng = np.random.default_rng(7)
+        xs = [jnp.asarray(rng.random((1, 64, 64, 3), np.float32))
+              for _ in range(3)]
+        variables = jax.jit(
+            lambda r: m.init({"params": r}, xs[0], rng=jax.random.PRNGKey(1))
+        )(jax.random.PRNGKey(0))
+        rt = CodecRuntime(m, variables)
+        streams = [rt.compress(x) for x in xs]
+        seq = [rt.decompress(bs) for bs in streams]
+        many = rt.decompress_many(streams)
+        assert len(rt.many_times) == m.max_support_slices + 1
+        for s, g in zip(seq, many):
+            np.testing.assert_array_equal(
+                np.asarray(s["x_hat"]), np.asarray(g["x_hat"])
+            )
