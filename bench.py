@@ -141,37 +141,57 @@ def main_tpu(args):
     rans = [r[1] for r in dec_rounds]
 
     # ---- pipelined stream throughput (headline) ----
+    # One-frame LOOKAHEAD: frame k's encode is dispatched (device) BEFORE
+    # frame k-1's bitstream finish (host rANS), so the encoder's rANS
+    # runs while the device chews on frame k; frame k-2's decode rounds
+    # pump between frame k's dispatch groups.  Encode(k) depends only on
+    # h(k-1)'s device tensors (recon/feature), never on bytes, so this
+    # is a scheduling change only — streams/recons are identical.
     ref_e, feat_e = dec0["recon"], dec0["feature"]
-    pending = None  # (decode job, encoder-side recon for the equality check)
+    prev = None  # frame k-1: dict(h, ref, feat) — encoded, not finished
+    pend = None  # frame k-2: (decode job, encoder-side recon for equality)
     t0 = time.perf_counter()
     n_pipe = args.frames
     errs = []  # device-side max-|err| scalars, pulled after the timed loop
-    for t in range(n_pipe):
-        curr = frames[2 + (t % (len(frames) - 2))]
-        # pump: frame t-1's decode rounds interleave into the dispatch
-        # queue BETWEEN this encode's chunks (in-order execution would
-        # otherwise park every decode round behind the whole encode)
-        pump = pending[0].step if pending is not None else None
-        h = rt.compress_pipelined(ref_e, curr, sm, feat_e, pump=pump)
-        if pending is not None:
-            job, enc_recon = pending
-            while not job.step():  # drain any rounds the pump didn't reach
-                pass
-            errs.append(
-                jnp.abs(
-                    job.result["recon"].astype(jnp.float32)
-                    - enc_recon.astype(jnp.float32)
-                ).max()
-            )
-        mv_bs, res_bs = rt.finish(h)
-        pending = (
-            rt.start_decompress(ref_e, mv_bs, res_bs, sm, feat_e),
-            h["recon"],
+
+    def _drain(p):
+        job, enc_recon = p
+        while not job.step():  # drain any rounds the pump didn't reach
+            pass
+        errs.append(
+            jnp.abs(
+                job.result["recon"].astype(jnp.float32)
+                - enc_recon.astype(jnp.float32)
+            ).max()
         )
+        return job
+
+    for k in range(n_pipe):
+        curr = frames[2 + (k % (len(frames) - 2))]
+        pump = pend[0].step if pend is not None else None
+        h = rt.compress_pipelined(ref_e, curr, sm, feat_e, pump=pump)
+        me = {"h": h, "ref": ref_e, "feat": feat_e}
         ref_e, feat_e = h["recon"], h["feature"]
-    job, enc_recon = pending
-    while not job.step():
-        pass
+        if pend is not None:
+            _drain(pend)
+            pend = None
+        if prev is not None:
+            # host rANS here overlaps frame k's queued device work
+            mv_bs, res_bs = rt.finish(prev["h"])
+            pend = (
+                rt.start_decompress(prev["ref"], mv_bs, res_bs, sm,
+                                    prev["feat"]),
+                prev["h"]["recon"],
+            )
+        prev = me
+    # epilogue: drain frame n-2, finish + decode frame n-1
+    if pend is not None:
+        _drain(pend)
+    mv_bs, res_bs = rt.finish(prev["h"])
+    job = _drain((
+        rt.start_decompress(prev["ref"], mv_bs, res_bs, sm, prev["feat"]),
+        prev["h"]["recon"],
+    ))
     np.asarray(job.result["recon"].ravel()[0])
     fps_pipe = n_pipe * B / (time.perf_counter() - t0)
     # encoder drives the decoder's executables (codec_runtime.start_
