@@ -166,6 +166,11 @@ class CodecRuntime:
                 v, m, prev, mu, syms, cond, method=mt.decode_finish
             )
         )
+        self._decode_tail_latent = jax.jit(
+            lambda v, m, prev, mu, syms, cond: module.apply(
+                v, m, prev, mu, syms, cond, method=mt.decode_tail_latent
+            )
+        )
         self._synthesize = jax.jit(
             lambda v, y_hat, cond: module.apply(v, y_hat, cond, method=mt.synthesize)
         )
@@ -257,6 +262,13 @@ class CodecRuntime:
             out["fin"] = finish_fn(means, y_hat_prev, mu, sym_tail, cond)
         elif with_finish:
             out["fin"] = self._decode_finish(
+                v, means, y_hat_prev, mu, sym_tail, cond
+            )
+        else:
+            # no tail reconstruction requested, but the encoder-side
+            # latent is still part of the handle contract
+            # (_last_encode["y_hat"], tests/test_pframe.py bit-exactness)
+            out["y_hat"] = self._decode_tail_latent(
                 v, means, y_hat_prev, mu, sym_tail, cond
             )
         if out.get("fin") is not None:

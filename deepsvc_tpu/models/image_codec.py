@@ -395,6 +395,25 @@ class ChannelARBase(nn.Module):
         y_hat = jnp.concatenate(parts, axis=-1)
         return {"x_hat": self._synthesis(y_hat, cond), "y_hat": y_hat}
 
+    def decode_tail_latent(self, latent_means, y_hat_prev, mu_tail, syms_tail,
+                           cond=None):
+        """decode_finish minus the synthesis: the full y_hat only.
+
+        Encoder bookkeeping path — compress() skips the tail
+        reconstruction (the serial protocol takes recon from the decode)
+        but the encoder-side latent must still exist for the
+        bit-exactness contract checks (_last_encode["y_hat"])."""
+        slice_cond = self._slice_cond(cond)
+        support = self._split_prev(y_hat_prev, self.max_support_slices)
+        parts = [y_hat_prev]
+        for k, i in enumerate(range(self.max_support_slices, self.num_slices)):
+            parts.append(
+                self._recon_slice(
+                    latent_means, slice_cond, support, mu_tail[k], syms_tail[k], i
+                )
+            )
+        return jnp.concatenate(parts, axis=-1)
+
     def synthesize(self, y_hat, cond=None):
         return self._synthesis(y_hat, cond)
 

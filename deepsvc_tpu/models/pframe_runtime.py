@@ -135,13 +135,21 @@ class PFrameRuntime:
             # the serial protocol takes recon/feature from the decode
             res_enc = self.res_rt.drive_exact(a_res, None, with_finish=False,
                                               pump=pump)
-        h = {"mv_enc": mv_enc, "res_enc": res_enc, "mc": mc}
+        h = {"mv_enc": mv_enc, "res_enc": res_enc}
         if with_recon:
             h["recon"] = res_enc["fin"]["recon"]
             h["feature"] = res_enc["fin"]["feature"]
         for enc in (mv_enc, res_enc):
             for k in ("z_sym", "y_packed"):
                 enc[k].copy_to_host_async()
+            # Release the full-res tail tensors: finish_compress needs
+            # only z_sym/y_packed/y_sym/y_shape (+ y_hat for the
+            # encoder-side bit-exactness checks).  mc's predict_fea/
+            # warp_fea and the residual x_hat are ~267 MB each at 1080p
+            # bf16 — holding them across the bench's one-frame lookahead
+            # window OOMed the chip (RESOURCE_EXHAUSTED, r3 campaign).
+            enc.pop("fin", None)
+            enc.pop("x_hat", None)
         return h
 
     def compress_pipelined(self, ref, curr, sm_fea, feature=None, pump=None):
@@ -161,7 +169,7 @@ class PFrameRuntime:
         TPU in-order execution queues every decode round behind the whole
         encode and pipelining hides only the first round's stall.
 
-        Returns dict(mv_enc, res_enc, mc, recon, feature); call
+        Returns dict(mv_enc, res_enc, recon, feature); call
         finish(handles) to pull symbols and produce the bitstreams.
         recon/feature are BITWISE what the decoder will reconstruct
         (_encode_exact), so the recurrent streams cannot drift.
