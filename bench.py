@@ -205,19 +205,102 @@ def main_tpu(args):
             ))
         np.asarray(job.result["recon"].ravel()[0])
         fps = n_pipe * B / (time.perf_counter() - t0)
-        return fps, errs
+        # materialize the equality scalars NOW: a later schedule's OOM
+        # must not be able to poison this schedule's pending results
+        return fps, [float(e) for e in errs]
 
-    try:
-        fps_pipe, errs = _run_pipelined(True)
-        pipelined_mode = "lookahead"
-    except Exception as e:  # HBM RESOURCE_EXHAUSTED on small-memory chips
-        print(f"lookahead pipelining failed ({type(e).__name__}: {e}); "
-              f"falling back to no-lookahead schedule", file=sys.stderr)
-        import gc
+    def _run_pipelined_threaded():
+        """Decoder rounds drained by a WORKER THREAD.
 
-        gc.collect()  # free the dead window's device buffers before retry
-        fps_pipe, errs = _run_pipelined(False)
-        pipelined_mode = f"no_lookahead_fallback({type(e).__name__})"
+        Through a relay every idx pull costs ~35 ms of pure round-trip
+        latency; pumped on the main thread (the lookahead schedule) that
+        latency serializes with encode dispatch — the device queue
+        drains during the relay wait and the device idles (measured:
+        pipelined 1.38 s/frame == device 0.95 + 10 pulls x 35 ms + rANS,
+        bench r3).  A worker thread eats the relay waits (PJRT pulls and
+        the ctypes rANS calls release the GIL) while the main thread
+        keeps the device queue fed with the next frame's encode.
+        Bit-exactness is untouched: thread scheduling changes dispatch
+        ORDER only, never any program or its inputs."""
+        from concurrent.futures import ThreadPoolExecutor
+
+        def _finish_and_decode(hh, ref, feat, enc_recon):
+            mv_bs, res_bs = rt.finish(hh)
+            job = rt.start_decompress(ref, mv_bs, res_bs, sm, feat)
+            while not job.step():
+                pass
+            # return ONLY the equality scalar: the job's full-res MC/recon
+            # tensors (~0.3 GB/frame) die here — retaining every job until
+            # function exit exhausted HBM and the OOM surfaced two legs
+            # later, in transforms-only (bench r3, rc=1)
+            err = jnp.abs(
+                job.result["recon"].astype(jnp.float32)
+                - enc_recon.astype(jnp.float32)
+            ).max()
+            return err
+
+        ref_e, feat_e = dec0["recon"], dec0["feature"]
+        prev = None
+        futs = []  # future -> device scalar max|err|
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            t0 = time.perf_counter()
+            for k in range(n_pipe):
+                curr = frames[2 + (k % (len(frames) - 2))]
+                h = rt.compress_pipelined(ref_e, curr, sm, feat_e)
+                me = {"h": h, "ref": ref_e, "feat": feat_e}
+                ref_e, feat_e = h["recon"], h["feature"]
+                del h
+                if prev is not None:
+                    futs.append(ex.submit(
+                        _finish_and_decode, prev["h"], prev["ref"],
+                        prev["feat"], prev["h"]["recon"]))
+                    if len(futs) > 2:  # back-pressure: bound the window of
+                        # live handles (~0.3 GB/frame) so a lagging worker
+                        # cannot accumulate frames until HBM exhausts
+                        futs[-3].result()
+                prev = me
+            futs.append(ex.submit(
+                _finish_and_decode, prev["h"], prev["ref"], prev["feat"],
+                prev["h"]["recon"]))
+            errs_dev = [f.result() for f in futs]
+            # one pull ends the clock: the device executes in order, so
+            # the last err scalar being ready implies every prior frame's
+            # decode work is done
+            _ = float(errs_dev[-1])
+            fps = n_pipe * B / (time.perf_counter() - t0)
+        return fps, [float(e) for e in errs_dev]
+
+    # First success wins: running a second schedule on top of a completed
+    # one doubles the live-handle footprint and OOMed the chip (measured);
+    # the schedules are ordered by measured speed (decode_thread ~1.4x
+    # lookahead — the relay pulls block a worker, not the dispatch loop).
+    candidates = [
+        ("decode_thread", _run_pipelined_threaded),
+        ("lookahead", lambda: _run_pipelined(True)),
+        ("no_lookahead", lambda: _run_pipelined(False)),
+    ]
+    fps_pipe, errs, pipelined_mode, attempts = 0.0, None, "none", {}
+    for name, fn in candidates:
+        try:
+            fps_pipe, errs = fn()
+            attempts[name] = round(fps_pipe, 4)
+            pipelined_mode = name
+            break
+        except Exception as exc:  # HBM RESOURCE_EXHAUSTED etc.
+            print(f"pipelined schedule {name} failed "
+                  f"({type(exc).__name__}: {exc})", file=sys.stderr)
+            attempts[name] = f"{type(exc).__name__}"
+            import gc
+
+            gc.collect()  # free the dead window's buffers before retry
+    if errs is None:
+        # bench must still emit its JSON line for the driver; report the
+        # serial number as the stream number and flag it loudly
+        print(f"every pipelined schedule failed: {attempts}", file=sys.stderr)
+        fps_pipe, errs, pipelined_mode = fps_serial, [], "serial_fallback"
+    import gc
+
+    gc.collect()  # drop the winning schedule's window before the next legs
     # encoder drives the decoder's executables (codec_runtime.start_
     # compress), so encoder-side recon == decoder recon BITWISE; any
     # nonzero here is a real desync and the number above is invalid
@@ -261,33 +344,45 @@ def main_tpu(args):
         gop_leg = {"gop_decode_error": f"{type(e).__name__}: {e}"[:200]}
 
     # ---- transforms-only fps (no host coder on the critical path) ----
-    t0 = time.perf_counter()
-    r, ft = dec0["recon"], dec0["feature"]
-    for t in range(4):
-        h = rt.compress_pipelined(r, frames[2 + t % 2], sm, ft)
-        r, ft = h["recon"], h["feature"]
-    jax.block_until_ready(r)
-    transforms_s = (time.perf_counter() - t0) / 4
-    fps_transforms = B / transforms_s
+    # non-fatal like the GOP leg: a leg-local OOM must not kill the JSON
+    fps_transforms, mfu, flops = 0.0, 0.0, 0.0
+    try:
+        t0 = time.perf_counter()
+        r, ft = dec0["recon"], dec0["feature"]
+        for t in range(4):
+            h = rt.compress_pipelined(r, frames[2 + t % 2], sm, ft)
+            r, ft = h["recon"], h["feature"]
+        jax.block_until_ready(r)
+        transforms_s = (time.perf_counter() - t0) / 4
+        fps_transforms = B / transforms_s
+        del r, ft, h
 
-    # ---- MFU estimate over the encode transform chain ----
-    v = rt.variables
-    mv_in = rt._motion(v, frames[0], frames[1])
-    flops = stage_flops(rt._motion, v, frames[0], frames[1])
-    flops += stage_flops(rt.mv_rt._encode, rt.mv_rt.variables, mv_in, None)
-    mc = rt._mc(v, frames[0], jnp.zeros((1, H, W, 2), jnp.bfloat16), sm, None)
-    flops += stage_flops(rt._mc, v, frames[0],
-                         jnp.zeros((1, H, W, 2), jnp.bfloat16), sm, None)
-    res_in = rt._res_in(v, frames[0], frames[1], mc["predict_frame"],
-                        mc["predict_fea"])
-    flops += stage_flops(rt._res_in, v, frames[0], frames[1],
-                         mc["predict_frame"], mc["predict_fea"])
-    flops += stage_flops(rt.res_rt._encode, rt.res_rt.variables, res_in, None)
-    mfu = (flops / transforms_s) / (PEAK_TFLOPS * 1e12) if flops else 0.0
+        # ---- MFU estimate over the encode transform chain ----
+        v = rt.variables
+        mv_in = rt._motion(v, frames[0], frames[1])
+        flops = stage_flops(rt._motion, v, frames[0], frames[1])
+        flops += stage_flops(rt.mv_rt._encode, rt.mv_rt.variables, mv_in, None)
+        mc = rt._mc(v, frames[0], jnp.zeros((1, H, W, 2), jnp.bfloat16), sm,
+                    None)
+        flops += stage_flops(rt._mc, v, frames[0],
+                             jnp.zeros((1, H, W, 2), jnp.bfloat16), sm, None)
+        res_in = rt._res_in(v, frames[0], frames[1], mc["predict_frame"],
+                            mc["predict_fea"])
+        flops += stage_flops(rt._res_in, v, frames[0], frames[1],
+                             mc["predict_frame"], mc["predict_fea"])
+        flops += stage_flops(rt.res_rt._encode, rt.res_rt.variables, res_in,
+                             None)
+        mfu = (flops / transforms_s) / (PEAK_TFLOPS * 1e12) if flops else 0.0
+        del mv_in, mc, res_in
+    except Exception as e:
+        print(f"transforms/MFU leg failed ({type(e).__name__}: {e})",
+              file=sys.stderr)
+    gc.collect()
 
     # ---- I-frame leg on a real textured frame (VERDICT r2 weak 8) ----
     i_leg = {}
     if not args.no_iframe:
+      try:
         from deepsvc_tpu.models import CodecRuntime, ImageCodec
 
         i_model = ImageCodec(dtype=jnp.bfloat16)
@@ -319,6 +414,8 @@ def main_tpu(args):
             "i_bpp": round(i_bpp, 4),
             "gop12_fps": round(gop_fps, 4),
         }
+      except Exception as e:  # leg-local failure must not kill the JSON
+        i_leg = {"i_leg_error": f"{type(e).__name__}: {e}"[:200]}
 
     ref_cpu = reference_cpu_fps()
     out = {
@@ -332,6 +429,7 @@ def main_tpu(args):
         "fps_serial": round(fps_serial, 4),
         "fps_transforms_only": round(fps_transforms, 4),
         "pipelined_mode": pipelined_mode,
+        "pipelined_attempts_fps": attempts,
         "pipeline_equality_max_err": max_err,
         "encode_device_s": round(float(np.mean(enc_dev)) * 2, 4),
         "encode_host_rans_s": round(float(np.mean(enc_rans)) * 2, 4),
