@@ -40,13 +40,24 @@ def sync(x):
     np.asarray(x.ravel()[0])
 
 
-def t(name, fn, *args, flops=0, n=5):
-    out = fn(*args)
-    sync(out)
-    t0 = time.perf_counter()
+def t(name, fn, *args, flops=0, n=3, reps=20):
+    """Time one application of shape-preserving ``fn``.
+
+    ``reps`` applications are CHAINED inside a single executable
+    (fori_loop, each iteration feeding the next) so the ~40 ms relay
+    sync amortizes 1/reps; the first probe version synced per call and
+    printed negative-ms garbage for sub-ms ops."""
+    assert len(args) == 1
+    f_rep = jax.jit(
+        lambda a: jax.lax.fori_loop(0, reps, lambda i, v: fn(v), a)
+    )
+    sync(f_rep(args[0]))  # compile + warm
+    best = float("inf")
     for _ in range(n):
-        sync(fn(*args))
-    dt = (time.perf_counter() - t0) / n - SYNC / 1e3
+        t0 = time.perf_counter()
+        sync(f_rep(args[0]))
+        best = min(best, (time.perf_counter() - t0 - SYNC / 1e3) / reps)
+    dt = best
     tf = flops / dt / 1e12 if flops else 0
     print(f"{name:52s} {dt*1e3:8.2f} ms  {tf:6.1f} TF/s", flush=True)
     return dt
