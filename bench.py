@@ -270,11 +270,62 @@ def main_tpu(args):
             fps = n_pipe * B / (time.perf_counter() - t0)
         return fps, [float(e) for e in errs_dev]
 
+    def _run_pipelined_gop(gop: int = 4):
+        """GOP-batched decode behind a one-GOP encode lookahead.
+
+        Per-frame decode pays 10 relay pulls x ~35 ms; decompress_gop
+        rides ALL frames' entropy chains on ONE pull per round
+        (measured: 0.229 -> 0.117 s/frame stall at gop=4).  Decoding
+        GOP i only after GOP i+1's encodes are dispatched keeps the
+        device queue full during those pulls, so the residual stall
+        hides under queued encode work.  Throughput schedule (serving);
+        per-frame latency is fps_serial's number.  Bit-exactness: the
+        decoder consumes the encoder-produced reference tensors and
+        bitstreams, same as every other schedule."""
+        ref_e, feat_e = dec0["recon"], dec0["feature"]
+        errs_dev, pend, k = [], None, 0
+
+        def _encode_gop(k, g):
+            nonlocal ref_e, feat_e
+            anchor = (ref_e, feat_e)
+            streams, recons = [], []
+            for j in range(g):
+                curr = frames[2 + ((k + j) % (len(frames) - 2))]
+                h = rt.compress_pipelined(ref_e, curr, sm, feat_e)
+                streams.append(rt.finish(h))  # host rANS overlaps device
+                recons.append(h["recon"])
+                ref_e, feat_e = h["recon"], h["feature"]
+                del h
+            return anchor, streams, recons
+
+        def _decode_gop(p):
+            (ref_d, feat_d), streams, recons = p
+            outs = rt.decompress_gop(ref_d, streams, sm, feat_d)
+            for o, r_enc in zip(outs, recons):
+                errs_dev.append(jnp.abs(
+                    o["recon"].astype(jnp.float32)
+                    - r_enc.astype(jnp.float32)
+                ).max())
+
+        t0 = time.perf_counter()
+        while k < n_pipe:
+            g = min(gop, n_pipe - k)
+            me = _encode_gop(k, g)
+            if pend is not None:
+                _decode_gop(pend)
+            pend = me
+            k += g
+        _decode_gop(pend)
+        _ = float(errs_dev[-1])  # in-order device: everything is done
+        fps = n_pipe * B / (time.perf_counter() - t0)
+        return fps, [float(e) for e in errs_dev]
+
     # First success wins: running a second schedule on top of a completed
     # one doubles the live-handle footprint and OOMed the chip (measured);
-    # the schedules are ordered by measured speed (decode_thread ~1.4x
-    # lookahead — the relay pulls block a worker, not the dispatch loop).
+    # ordered by measured speed (gop_pipeline amortizes the relay pulls
+    # over the GOP; decode_thread only moves them off the dispatch loop).
     candidates = [
+        ("gop_pipeline", _run_pipelined_gop),
         ("decode_thread", _run_pipelined_threaded),
         ("lookahead", lambda: _run_pipelined(True)),
         ("no_lookahead", lambda: _run_pipelined(False)),
