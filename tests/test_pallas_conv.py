@@ -1,0 +1,74 @@
+"""Exactness of the pallas h2 conv kernel vs the XLA reference lowering.
+
+Runs in interpret mode (tests are CPU-only, conftest.py); the compiled
+Mosaic path is exercised on hardware by bench_hot.py / bench.py and the
+runtime equality checks (encoder recon == decoder recon bitwise).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepsvc_tpu.ops.packed import conv_h2
+from deepsvc_tpu.ops.pallas_conv import conv3x3_h2, h2_pack_kernel3
+
+
+def _mk(rng, H, W, C):
+    x = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
+    K = jnp.asarray(
+        rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.05
+    )
+    b = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+    return x, K, b
+
+
+class TestPallasConvH2:
+    def test_linear_matches_conv_h2(self, rng):
+        H, W, C = 24, 32, 64
+        x, K, b = _mk(rng, H, W, C)
+        ref = conv_h2(x, K, b, dtype=jnp.float32)
+        got = conv3x3_h2(
+            x.reshape(1, H, W // 2, 2 * C),
+            h2_pack_kernel3(K, jnp.float32),
+            jnp.tile(b, 2),
+            th=8, twp=8, interpret=True,
+        ).reshape(1, H, W, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_row_padding_tail_tile(self, rng):
+        # H=20 with th=8 exercises the zero-row padding + crop path
+        H, W, C = 20, 16, 64
+        x, K, b = _mk(rng, H, W, C)
+        ref = conv_h2(x, K, b, dtype=jnp.float32)
+        got = conv3x3_h2(
+            x.reshape(1, H, W // 2, 2 * C),
+            h2_pack_kernel3(K, jnp.float32),
+            jnp.tile(b, 2),
+            th=8, twp=8, interpret=True,
+        ).reshape(1, H, W, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_fused_lrelu_residual(self, rng):
+        H, W, C = 16, 16, 64
+        x, K, b = _mk(rng, H, W, C)
+        c = conv_h2(x, K, b, dtype=jnp.float32)
+        ref = x + jnp.where(c >= 0, c, 0.01 * c)
+        xp = x.reshape(1, H, W // 2, 2 * C)
+        got = conv3x3_h2(
+            xp, h2_pack_kernel3(K, jnp.float32), jnp.tile(b, 2), xp,
+            slope=0.01, th=8, twp=8, interpret=True,
+        ).reshape(1, H, W, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-5)
+
+    def test_rejects_non_128_lanes(self, rng):
+        x, K, b = _mk(rng, 8, 8, 32)
+        with pytest.raises(AssertionError):
+            conv3x3_h2(
+                x.reshape(1, 8, 4, 64),
+                h2_pack_kernel3(K, jnp.float32),
+                jnp.tile(b, 2), interpret=True,
+            )
