@@ -134,6 +134,14 @@ class CodecRuntime:
     """Wraps a ChannelARBase module + trained variables for real coding."""
 
     def __init__(self, module, variables, encoder_xhat: bool = True):
+        # DEEPSVC_PALLAS=1 opts the forward-only bitstream path into the
+        # pallas conv kernel (see pframe_runtime.PFrameRuntime.__init__)
+        import os
+
+        if os.environ.get("DEEPSVC_PALLAS"):
+            from ..ops import pallas_conv
+
+            pallas_conv.enable()
         self.module = module
         self.variables = variables
         self.encoder_xhat = encoder_xhat

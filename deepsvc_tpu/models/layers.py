@@ -77,9 +77,21 @@ class Conv(nn.Module):
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
         if self.packed_io:
+            from ..ops import pallas_conv
             from ..ops.packed import conv_h2
 
             assert self.stride == 1 and self.kernel % 2 == 1
+            if (
+                pallas_conv.active()
+                and self.kernel == 3
+                and self.features == 64
+                and x.shape[0] == 1
+                and x.shape[-1] % 128 == 0
+                and pallas_conv.pick_twp(x.shape[2])
+            ):
+                return pallas_conv.conv_module_apply(
+                    x, kern, bias, dtype=self.dtype
+                )
             return conv_h2(x, kern, bias, dtype=self.dtype, packed_io=True)
         if (
             self.packed
@@ -87,8 +99,23 @@ class Conv(nn.Module):
             and self.kernel % 2 == 1
             and self.stride == 1
         ):
+            from ..ops import pallas_conv
             from ..ops.packed import conv_h2
 
+            if (
+                pallas_conv.active()
+                and self.kernel == 3
+                and self.features == 64
+                and x.shape[0] == 1
+                and (2 * cin) % 128 == 0
+                and pallas_conv.pick_twp(x.shape[2] // 2)
+            ):
+                B, H, W, _ = x.shape
+                out = pallas_conv.conv_module_apply(
+                    x.reshape(B, H, W // 2, 2 * cin), kern, bias,
+                    dtype=self.dtype,
+                )
+                return out.reshape(B, H, W, self.features)
             return conv_h2(x, kern, bias, dtype=self.dtype)
         if (
             self.packed

@@ -24,6 +24,17 @@ _concat_flat = jax.jit(
 
 class PFrameRuntime:
     def __init__(self, module: PFrameCodec, variables):
+        # DEEPSVC_PALLAS=1 routes qualifying 3x3 transform convs through
+        # the pallas kernel (ops/pallas_conv.py).  Opt-in: measured
+        # in-context, XLA's fusion already reaches ~54 TF/s on these
+        # chains and the v1 kernel's per-call pad/copy boundaries lose
+        # (bench_mod_r3: FeatureExtraction 17.2 ms XLA vs 34.2 pallas).
+        import os
+
+        if os.environ.get("DEEPSVC_PALLAS"):
+            from ..ops import pallas_conv
+
+            pallas_conv.enable()
         self.module = module
         self.variables = variables
 
