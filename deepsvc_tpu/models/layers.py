@@ -65,6 +65,7 @@ class Conv(nn.Module):
     dtype: Dtype = jnp.float32
     packed: bool = False
     packed_io: bool = False  # input/output already in the (W/2, 2C) view
+    fused_tap: bool = False  # return (kernel, bias) for a fused caller
 
     @nn.compact
     def __call__(self, x):
@@ -76,22 +77,18 @@ class Conv(nn.Module):
             jnp.float32,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        if self.fused_tap:
+            # caller fuses this conv into a larger kernel (ResBlock
+            # pallas path); params are created HERE so the tree is
+            # identical across the fused/unfused lowerings
+            return kern, bias
         if self.packed_io:
-            from ..ops import pallas_conv
             from ..ops.packed import conv_h2
 
             assert self.stride == 1 and self.kernel % 2 == 1
-            if (
-                pallas_conv.active()
-                and self.kernel == 3
-                and self.features == 64
-                and x.shape[0] == 1
-                and x.shape[-1] % 128 == 0
-                and pallas_conv.pick_twp(x.shape[2])
-            ):
-                return pallas_conv.conv_module_apply(
-                    x, kern, bias, dtype=self.dtype
-                )
+            # NOTE: no single-conv pallas routing here — measured
+            # in-context loss (bench_mod_r3); the pallas win is the
+            # FUSED ResBlock path (layers.ResBlock -> resblock_h2)
             return conv_h2(x, kern, bias, dtype=self.dtype, packed_io=True)
         if (
             self.packed
@@ -99,23 +96,8 @@ class Conv(nn.Module):
             and self.kernel % 2 == 1
             and self.stride == 1
         ):
-            from ..ops import pallas_conv
             from ..ops.packed import conv_h2
 
-            if (
-                pallas_conv.active()
-                and self.kernel == 3
-                and self.features == 64
-                and x.shape[0] == 1
-                and (2 * cin) % 128 == 0
-                and pallas_conv.pick_twp(x.shape[2] // 2)
-            ):
-                B, H, W, _ = x.shape
-                out = pallas_conv.conv_module_apply(
-                    x.reshape(B, H, W // 2, 2 * cin), kern, bias,
-                    dtype=self.dtype,
-                )
-                return out.reshape(B, H, W, self.features)
             return conv_h2(x, kern, bias, dtype=self.dtype)
         if (
             self.packed
@@ -249,7 +231,30 @@ class ResBlock(nn.Module):
         mid = self.channels // 2 if self.bottleneck else self.channels
         pk = self.packed and x.shape[2] % 2 == 0
         if pk:
+            from ..ops import pallas_conv
+
             xp = _pack_w(x)
+            if (
+                pallas_conv.active()
+                and self.channels == 64
+                and mid == 64
+                and x.shape[0] == 1
+                and pallas_conv.pick_twp(xp.shape[2])
+            ):
+                # whole block as ONE pallas kernel: both convs +
+                # activations + residual add per tile, h never in HBM
+                k1, b1 = Conv(mid, 3, 1, dtype=self.dtype, packed_io=True,
+                              fused_tap=True)(xp)
+                k2, b2 = Conv(self.channels, 3, 1, dtype=self.dtype,
+                              packed_io=True, fused_tap=True)(xp)
+                out = pallas_conv.resblock_module_apply(
+                    xp, k1, b1, k2, b2,
+                    slope=None if self.slope < 1e-4 else self.slope,
+                    pre_act=self.start_from_relu,
+                    post_act=self.end_with_relu,
+                    dtype=self.dtype,
+                )
+                return _unpack_w(out, self.channels)
             out = act(xp) if self.start_from_relu else xp
             out = Conv(mid, 3, 1, dtype=self.dtype, packed_io=True)(out)
             out = act(out)

@@ -142,6 +142,184 @@ def _conv_kernel(slope, has_add, TH, TWp, CI, out_dtype):
     return kernel
 
 
+def _rb_kernel(slope, pre_act, post_act, TH, TWp, H, Wp, nsteps, out_dtype):
+    """Fused ResBlock body: y = x + [act](conv2(act(conv1([act](x))))).
+
+    One double-buffered window DMA per (TH, TWp) output tile feeds BOTH
+    convs; the intermediate h never touches HBM.  h is masked to zero
+    outside the true image so the fused result matches the unfused
+    SAME-conv pair exactly (conv2's halo reads of conv1's output are
+    zeros beyond the image in the unfused form)."""
+
+    def act(v):
+        if slope is None:
+            return jnp.maximum(v, 0.0)
+        return jnp.where(v >= 0, v, jnp.float32(slope) * v)
+
+    def kernel(x_hbm, w1_ref, b1_ref, w2_ref, b2_ref, o_ref,
+               win0, win1, sem0, sem1):
+        nW = pl.num_programs(1)
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        step = i * nW + j
+        wins = (win0, win1)
+        sems = (sem0, sem1)
+
+        def copy_for(s, slot):
+            ii = s // nW
+            jj = s % nW
+            return pltpu.make_async_copy(
+                x_hbm.at[
+                    pl.ds(ii * TH, TH + 4), pl.ds(jj * TWp, TWp + 16), :
+                ],
+                wins[slot],
+                sems[slot],
+            )
+
+        @pl.when(step == 0)
+        def _():
+            copy_for(step, 0).start()
+
+        @pl.when(jnp.logical_and(step + 1 < nsteps, step % 2 == 0))
+        def _():
+            copy_for(step + 1, 1).start()
+
+        @pl.when(jnp.logical_and(step + 1 < nsteps, step % 2 == 1))
+        def _():
+            copy_for(step + 1, 0).start()
+
+        def compute(win, sem_slot):
+            copy_for(step, sem_slot).wait()
+            w = win[...]
+            w0 = act(w.astype(jnp.float32)).astype(w.dtype) if pre_act else w
+            # conv1 on the (TH+2, TWp+8) halo extension of the tile
+            M1 = (TH + 2) * (TWp + 8)
+            acc = None
+            for ky in range(3):
+                for px in range(3):
+                    xs = w0[ky : ky + TH + 2, px : px + TWp + 8, :].reshape(
+                        M1, 128
+                    )
+                    d = jax.lax.dot_general(
+                        xs, w1_ref[ky, px],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc = d if acc is None else acc + d
+            h = act(acc + b1_ref[0].astype(jnp.float32))
+            h = h.reshape(TH + 2, TWp + 8, 128)
+            # h position (rh, c) is global (i*TH + rh - 1, j*TWp + c - 1);
+            # zero outside the image = unfused SAME-conv halo semantics
+            gr = i * TH - 1 + jax.lax.broadcasted_iota(
+                jnp.int32, (TH + 2, TWp + 8, 128), 0
+            )
+            gc = j * TWp - 1 + jax.lax.broadcasted_iota(
+                jnp.int32, (TH + 2, TWp + 8, 128), 1
+            )
+            valid = (gr >= 0) & (gr < H) & (gc >= 0) & (gc < Wp)
+            h = jnp.where(valid, h, 0.0).astype(w.dtype)
+            M2 = TH * TWp
+            acc2 = None
+            for ky in range(3):
+                for px in range(3):
+                    hs = h[ky : ky + TH, px : px + TWp, :].reshape(M2, 128)
+                    d = jax.lax.dot_general(
+                        hs, w2_ref[ky, px],
+                        (((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    acc2 = d if acc2 is None else acc2 + d
+            out = acc2 + b2_ref[0].astype(jnp.float32)
+            if post_act:
+                out = act(out)
+            res = w[2 : 2 + TH, 2 : 2 + TWp, :].reshape(M2, 128)
+            out = out + res.astype(jnp.float32)
+            o_ref[...] = out.reshape(TH, TWp, 128).astype(out_dtype)
+
+        @pl.when(step % 2 == 0)
+        def _():
+            compute(win0, 0)
+
+        @pl.when(step % 2 == 1)
+        def _():
+            compute(win1, 1)
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("slope", "pre_act", "post_act", "th", "twp",
+                     "interpret"),
+)
+def resblock_h2(
+    xp: jnp.ndarray,
+    Kp1: jnp.ndarray,
+    b1: jnp.ndarray,
+    Kp2: jnp.ndarray,
+    b2: jnp.ndarray,
+    *,
+    slope: float | None = 0.01,
+    pre_act: bool = True,
+    post_act: bool = False,
+    th: int = 32,
+    twp: int = 120,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused h2 ResBlock: xp + [act](conv2(act(conv1([act](xp))))).
+
+    xp (1, H, Wp, 128); Kp1/Kp2 (3, 3, 128, 128) h2-scattered 3x3
+    kernels; b1/b2 (128,) tiled biases; slope None = ReLU.  Matches the
+    unfused packed_io Conv pair bit-for-bit in f32 (bf16: f32 accum +
+    f32 activation inside, cast once per conv).
+    """
+    B, H, Wp, CC = xp.shape
+    assert B == 1 and CC == 128
+    assert Kp1.shape == (3, 3, 128, 128) and Kp2.shape == (3, 3, 128, 128)
+    assert Wp % twp == 0 and twp % 8 == 0, (Wp, twp)
+    Hp = -(-H // th) * th
+    x = jnp.pad(xp[0], ((2, 2 + (Hp - H)), (2, 14), (0, 0)))
+    grid = (Hp // th, Wp // twp)
+    nsteps = grid[0] * grid[1]
+    kern = _rb_kernel(slope, pre_act, post_act, th, twp, H, Wp, nsteps,
+                      xp.dtype)
+    out = pl.pallas_call(
+        kern,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((th, twp, 128), lambda i, j: (i, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((Hp, Wp, 128), xp.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((th + 4, twp + 16, 128), xp.dtype),
+            pltpu.VMEM((th + 4, twp + 16, 128), xp.dtype),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA,
+        ],
+        interpret=interpret,
+    )(x, Kp1, b1.reshape(1, 128), Kp2, b2.reshape(1, 128))
+    return out[None, :H]
+
+
+def resblock_module_apply(xp, K1, bias1, K2, bias2, *, slope, pre_act,
+                          post_act, dtype):
+    """layers.ResBlock adapter: fused pallas block on the packed view."""
+    twp = pick_twp(xp.shape[2])
+    return resblock_h2(
+        xp.astype(dtype),
+        h2_pack_kernel3(K1, dtype),
+        jnp.tile(bias1.astype(jnp.float32), 2),
+        h2_pack_kernel3(K2, dtype),
+        jnp.tile(bias2.astype(jnp.float32), 2),
+        slope=slope, pre_act=pre_act, post_act=post_act, twp=twp,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("slope", "th", "twp", "interpret"),

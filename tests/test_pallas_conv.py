@@ -72,3 +72,76 @@ class TestPallasConvH2:
                 h2_pack_kernel3(K, jnp.float32),
                 jnp.tile(b, 2), interpret=True,
             )
+
+
+from deepsvc_tpu.ops.pallas_conv import resblock_h2
+
+
+def _rb_ref(x, K1, b1, K2, b2, slope, pre_act, post_act):
+    act = (lambda v: jnp.maximum(v, 0.0)) if slope is None else (
+        lambda v: jnp.where(v >= 0, v, slope * v))
+    out = act(x) if pre_act else x
+    out = act(conv_h2(out, K1, b1, dtype=jnp.float32))
+    out = conv_h2(out, K2, b2, dtype=jnp.float32)
+    if post_act:
+        out = act(out)
+    return x + out
+
+
+class TestPallasResBlock:
+    @pytest.mark.parametrize("pre_act,post_act,slope", [
+        (True, False, 0.01), (False, False, None), (True, True, 0.2),
+    ])
+    def test_matches_unfused(self, rng, pre_act, post_act, slope):
+        H, W, C = 24, 32, 64
+        x = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
+        K1 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+        K2 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32) * 0.1)
+        ref = _rb_ref(x, K1, b1, K2, b2, slope, pre_act, post_act)
+        got = resblock_h2(
+            x.reshape(1, H, W // 2, 2 * C),
+            h2_pack_kernel3(K1, jnp.float32), jnp.tile(b1, 2),
+            h2_pack_kernel3(K2, jnp.float32), jnp.tile(b2, 2),
+            slope=slope, pre_act=pre_act, post_act=post_act,
+            th=8, twp=8, interpret=True,
+        ).reshape(1, H, W, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_edge_tiles_and_row_padding(self, rng):
+        # H=20 (tail tile is padded rows), tiles touch all 4 image edges:
+        # exercises the h-masking that reproduces unfused SAME semantics
+        H, W, C = 20, 16, 64
+        x = jnp.asarray(rng.standard_normal((1, H, W, C)).astype(np.float32))
+        K1 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+        K2 = jnp.asarray(rng.standard_normal((3, 3, C, C)).astype(np.float32) * 0.1)
+        b1 = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        b2 = jnp.asarray(rng.standard_normal(C).astype(np.float32))
+        ref = _rb_ref(x, K1, b1, K2, b2, 0.01, True, False)
+        got = resblock_h2(
+            x.reshape(1, H, W // 2, 2 * C),
+            h2_pack_kernel3(K1, jnp.float32), jnp.tile(b1, 2),
+            h2_pack_kernel3(K2, jnp.float32), jnp.tile(b2, 2),
+            slope=0.01, th=8, twp=8, interpret=True,
+        ).reshape(1, H, W, C)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=1e-4, atol=1e-4)
+
+    def test_module_routing_param_tree_stable(self, rng):
+        # ResBlock's fused path must create the identical param tree
+        from deepsvc_tpu.models.layers import ResBlock
+        from deepsvc_tpu.ops import pallas_conv
+
+        x = jnp.asarray(rng.standard_normal((1, 8, 8, 64)).astype(np.float32))
+        mod = ResBlock(64, packed=True)
+        v = mod.init(jax.random.PRNGKey(0), x)
+        # CPU backend: active() stays False, so this exercises only that
+        # enable() does not change tracing/params on the fallback path
+        pallas_conv.enable(True)
+        try:
+            v2 = mod.init(jax.random.PRNGKey(0), x)
+        finally:
+            pallas_conv.enable(False)
+        assert jax.tree_util.tree_structure(v) == jax.tree_util.tree_structure(v2)
