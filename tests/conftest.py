@@ -16,6 +16,17 @@ The compile cache is a CPU-specific directory: /tmp/jax_cache holds TPU
 artifacts and possibly foreign-machine CPU AOT code (SIGILL risk).
 """
 
+import os
+
+# CPU test compiles are dominated by XLA backend optimization passes, not
+# codegen: the tiny ImageCodec fixture inits in 10.3s at opt level 0 vs
+# 47.2s at the default level (measured cold, r3). Tests assert exactness
+# between *identically-traced* programs, which level 0 preserves; the
+# TPU bench/driver paths never import this conftest and keep full opt.
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_backend_optimization_level=0"
+).strip()
+
 import jax
 
 jax.config.update("jax_platforms", "cpu")

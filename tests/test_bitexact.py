@@ -48,6 +48,7 @@ def _decode(rt, ref, mv_bs, res_bs, sm, feat):
     return job.result
 
 
+@pytest.mark.slow  # 98.7s module fixture (PFrameRuntime compile) — full class is slow-lane; fast-lane pframe coverage lives in test_pframe.py
 class TestPFrameBitExact:
     def test_pipelined_recon_equals_decode_bitwise_over_chain(self, prt):
         """3-frame recurrent chain: encoder-side recon/feature from
@@ -145,6 +146,7 @@ class TestPFrameBitExact:
 
 
 class TestImageCodecBitExact:
+    @pytest.mark.slow  # 27s cold; fast-lane image bitexactness = test_interleaved_multistream below
     def test_encoder_xhat_equals_decode_bitwise(self):
         import jax
 
@@ -164,6 +166,7 @@ class TestImageCodecBitExact:
             np.asarray(dec["x_hat"]), np.asarray(out["x_hat"])
         )
 
+    @pytest.mark.slow  # 20s cold; fast-lane runtime roundtrip exactness = TestBitstream::test_roundtrip_bit_exact
     def test_interleaved_multistream_decode_bitwise_equals_sequential(self):
         """decompress_many (all streams' chains on one pull per round)
         must be BITWISE the per-stream decode."""

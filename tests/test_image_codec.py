@@ -54,6 +54,7 @@ class TestForward:
         o2 = m.apply(variables, x, training=False)
         np.testing.assert_array_equal(np.asarray(o1["x_hat"]), np.asarray(o2["x_hat"]))
 
+    @pytest.mark.slow  # 26s cold grad compile; grads covered fast by test_entropy + test_semantic refine
     def test_grads_flow(self, img_setup, rng):
         m, variables = img_setup
         x = jnp.asarray(rng.random((1, 64, 64, 3), dtype=np.float32))
@@ -163,6 +164,7 @@ class TestBitstream:
 
 
 class TestConditionalCodec:
+    @pytest.mark.slow  # 19s cold; conditioned-bitstream fast coverage = test_semantic roundtrip_conditioned
     def test_forward_and_roundtrip(self, rng):
         m = tiny_conditional_codec()
         x = jnp.asarray(rng.standard_normal((1, 64, 64, 8)).astype(np.float32))

@@ -139,6 +139,7 @@ class TestPackedBlocks:
         u, p = check_pair(ConvBlockResidual, rng, x_of(rng, 8), features=32)
         assert_close(u, p)
 
+    @pytest.mark.slow  # 13s cold (largest packed chain); other packed equivalences stay fast
     def test_unet(self, rng):
         u, p = check_pair(UNet, rng, x_of(rng, 12, h=16, w=16), out_ch=32)
         assert_close(u, p, tol=5e-4)
@@ -153,6 +154,7 @@ class TestPackedBlocks:
         u, p = check_pair(FeatureExtraction, rng, x_of(rng, 3), nf=16)
         assert_close(u, p)
 
+    @pytest.mark.slow  # 17.7s cold; per-block packed equivalences below stay fast
     def test_reconstruction(self, rng):
         x = x_of(rng, 24, h=16, w=16)
         mod_u = Reconstruction(channels=32, out_ch=3)

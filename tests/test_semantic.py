@@ -15,6 +15,7 @@ from deepsvc_tpu.models import (
 
 
 class TestResNetTeacher:
+    @pytest.mark.slow  # 17.5s cold teacher compile; frozen-BN test keeps fast teacher coverage
     def test_dc5_feature_shapes(self, rng):
         m = ResNetTeacher(out_indices=(0, 1, 2, 3))
         x = jnp.asarray(rng.standard_normal((1, 64, 64, 3)).astype(np.float32))
@@ -26,6 +27,7 @@ class TestResNetTeacher:
         assert outs[2].shape == (1, 4, 4, 1024)
         assert outs[3].shape == (1, 4, 4, 2048)
 
+    @pytest.mark.slow  # 17.1s cold teacher compile; torch-import stays fast via test_convert_resnet50_state_dict
     def test_frozen_bn_stats_collection(self, rng):
         m = ResNetTeacher()
         x = jnp.zeros((1, 32, 32, 3))
@@ -107,6 +109,7 @@ class TestSemanticFeatureCodec:
 
 
 class TestStudentBackbone:
+    @pytest.mark.slow  # 12s cold student-backbone compile
     def test_forward(self, rng):
         m = StudentBackbone(N=16)
         # override the inner codec to a tiny config via module attrs is not

@@ -79,6 +79,7 @@ class TestCheckpointing:
 
 
 class TestTrainEvalCheckpointContract:
+    @pytest.mark.slow  # 55s cold (builds PFrameRuntime via build_runtimes)
     def test_main_save_then_eval_restore(self, tmp_path, rng):
         """The TrainState main.py saves must load through
         test_video_tpu.build_runtimes' restore path (ADVICE r1)."""
@@ -113,6 +114,7 @@ class TestTrainEvalCheckpointContract:
 
 
 class TestTorchImport:
+    @pytest.mark.slow  # 8.4s: cold torch import dominates
     def test_convert_resnet50_state_dict(self):
         import torch
 
