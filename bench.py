@@ -270,7 +270,8 @@ def main_tpu(args):
             fps = n_pipe * B / (time.perf_counter() - t0)
         return fps, [float(e) for e in errs_dev]
 
-    def _run_pipelined_gop(gop: int = 4):
+    def _run_pipelined_gop(gop: int | None = None):
+        gop = int(args.gop) if gop is None else gop
         """GOP-batched decode behind a one-GOP encode lookahead.
 
         Per-frame decode pays 10 relay pulls x ~35 ms; decompress_gop
@@ -600,6 +601,9 @@ def main_space(args):
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--frames", type=int, default=8)
+    p.add_argument("--gop", type=int, default=4,
+                   help="gop_pipeline decode-batch size: frames whose "
+                        "entropy chains ride one host pull per round")
     p.add_argument("--batch", type=int, default=1,
                    help="N independent streams on one batch axis: aggregate "
                         "serving throughput (per-stream latency rises)")
