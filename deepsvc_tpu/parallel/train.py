@@ -17,9 +17,14 @@ from ..models.pframe import bpp_from_likelihoods
 
 
 def make_dp_cascade_step(model, tx, mesh: Mesh, frames_n: int, lambda_rd: float,
-                         mc_weight: float = 0.01):
+                         mc_weight: float = 0.01, remat: bool = True):
     """Jitted multi-chip cascade update: frames (f, B, H, W, 3) with B
-    sharded over the mesh's data axis."""
+    sharded over the mesh's data axis.
+
+    ``remat=False`` skips the per-frame rematerialization — memory-only
+    semantics (identical grads, identical sharding/collective structure);
+    compile-budget-constrained callers (the driver's 1-CPU multichip
+    dryrun) use it to halve the backward compile."""
 
     repl = NamedSharding(mesh, P())
     batch_sharded = NamedSharding(mesh, P(None, "data"))
@@ -27,7 +32,7 @@ def make_dp_cascade_step(model, tx, mesh: Mesh, frames_n: int, lambda_rd: float,
     # remat each frame: the unrolled cascade otherwise holds every
     # frame's activations live (>=50 GB at production shapes — 3x HBM;
     # train/trainer.py _make_cascade_step, same trade)
-    frame_fwd = jax.checkpoint(
+    frame_fwd = (jax.checkpoint if remat else (lambda f: f))(
         lambda params, ref, curr, sm, feature, key: model.apply(
             params, ref, curr, sm, feature, rng=key, training=True
         )
