@@ -89,7 +89,9 @@ class ImageCodecConfig(Config):
     N: int = 192
     M: int = 320
     num_slices: int = 10
-    max_support_slices: int = 5
+    # 2 support slices = 3 decode host rounds (vs the reference's 5/6);
+    # see models/image_codec.ImageCodec docstring (r4 perf redesign)
+    max_support_slices: int = 2
 
 
 @dataclass

@@ -66,17 +66,19 @@ class Conv(nn.Module):
     packed: bool = False
     packed_io: bool = False  # input/output already in the (W/2, 2C) view
     fused_tap: bool = False  # return (kernel, bias) for a fused caller
+    kernel_init: Callable = nn.initializers.lecun_normal()
+    bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x):
         cin = x.shape[-1] // 2 if self.packed_io else x.shape[-1]
         kern = self.param(
             "kernel",
-            nn.initializers.lecun_normal(),
+            self.kernel_init,
             (self.kernel, self.kernel, cin, self.features),
             jnp.float32,
         )
-        bias = self.param("bias", nn.initializers.zeros, (self.features,), jnp.float32)
+        bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         if self.fused_tap:
             # caller fuses this conv into a larger kernel (ResBlock
             # pallas path); params are created HERE so the tree is

@@ -72,11 +72,20 @@ class InterLayerPrediction(nn.Module):
             ResBlock(self.hidden, dtype=dt, packed=pk),
             Conv(self.up_out, 3, 1, dtype=dt, packed=pk),
         ])
-        self.out_conv = Conv(self.out_ch, 3, 1, dtype=dt, packed=pk)
+        # Identity-start MC: predict = w*warped + (1-w)*out_conv(up_out)
+        # (modules.py:435-436).  At the default init w ~= 0.5 and out_conv
+        # is random, so the MC stage STARTS ~6 dB below plain warping and
+        # short schedules never close the gap (r3: mcpsnr 14.1 < warppsnr
+        # 20.3 after 4k steps).  Zero-init out_conv and bias the blend
+        # toward warped (sigmoid(3) ~= 0.95) so MC == 0.95*warped at step
+        # 0 and training only ever *improves* on warping.
+        self.out_conv = Conv(self.out_ch, 3, 1, dtype=dt, packed=pk,
+                             kernel_init=nn.initializers.zeros)
         self.weight = nn.Sequential([
             Conv(self.hidden, 3, 1, dtype=dt, packed=pk),
             ResBlock(self.hidden, dtype=dt, packed=pk),
-            Conv(3, 3, 1, dtype=dt, packed=pk),
+            Conv(3, 3, 1, dtype=dt, packed=pk,
+                 bias_init=nn.initializers.constant(3.0)),
             nn.sigmoid,
         ])
 

@@ -44,8 +44,11 @@ class SemanticFeatureCodec(ChannelARBase):
     """
 
     N: int = 72
-    num_slices: int = 8
-    max_support_slices: int = 4
+    # reference: 8 slices / 4 support (semantic_layer.py:1194-1196) = 5
+    # host rounds per P-frame semantic decode; 4 wider slices / 1 support
+    # = 2 rounds (same rationale as ConditionalCodec, r4 perf redesign)
+    num_slices: int = 4
+    max_support_slices: int = 1
     dtype: Dtype = jnp.float32
 
     @property
