@@ -122,6 +122,7 @@ def build_runtimes(args, lam):
             {"params": jax.random.PRNGKey(0)}, x, supp0, rng=jax.random.PRNGKey(1)
         )
         sem_dir = os.path.join(args.checkpoint_root, f"semantic_{lam}")
+        restored = None
         if os.path.isdir(sem_dir):
             from deepsvc_tpu.utils.checkpoint import CheckpointManager
 
@@ -130,13 +131,15 @@ def build_runtimes(args, lam):
             if restored is not None:
                 t_vars, s_vars = restored["teacher"], restored["student"]
                 print(f"loaded semantic checkpoint step {step}")
-        elif not tiny:
-            # no trained semantic weights: run structure+texture only
-            return (
-                CodecRuntime(i_model, i_vars, encoder_xhat=False),
-                PFrameRuntime(p_model, p_vars),
-                None,
-                None,
+        if restored is None and not tiny:
+            # LOUD failure: silently zeroing the semantic feature produced
+            # a "fine-tune proof" whose eval ran with the semantic layer
+            # absent (smbpp=0.0, r3 post-mortem).  Structure+texture-only
+            # evaluation is an explicit choice, never a fallback.
+            raise FileNotFoundError(
+                f"no semantic checkpoint under {sem_dir} "
+                f"(train_semantic_stack.py --lambda-rd {lam} writes it); "
+                "pass --no-semantic to evaluate structure+texture only"
             )
 
         sm_rt = SemanticRuntime(student, s_vars)

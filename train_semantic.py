@@ -55,6 +55,10 @@ def get_args():
     p.add_argument("--ckpt-every", type=int, default=200)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--allow-random-semantic", action="store_true",
+                   help="permit fine-tuning against a randomly initialized "
+                        "frozen semantic stack (normally an error: the r3 "
+                        "run did this silently and its eval collapsed)")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (sitecustomize pins "
                         "jax_platforms, so the JAX_PLATFORMS env var "
@@ -137,6 +141,28 @@ def main():
         if loaded is not None:
             i_vars = loaded
             logger.info(f"restored trained I-codec (step {step}) from {i_run}")
+
+        # the TRAINED semantic stack (train_semantic_stack.py layout); the
+        # r3 run silently froze a randomly-initialized stack, making the
+        # fine-tune expect features the eval could never supply
+        sem_dir = os.path.join(
+            args.checkpoint_root, f"semantic_{args.lambda_rd}"
+        )
+        sem_loaded = None
+        if os.path.isdir(sem_dir):
+            sem_loaded, step = CheckpointManager(sem_dir).restore(
+                {"teacher": t_vars, "student": s_vars}
+            )
+        if sem_loaded is not None:
+            t_vars, s_vars = sem_loaded["teacher"], sem_loaded["student"]
+            logger.info(f"restored trained semantic stack (step {step})")
+        elif not args.allow_random_semantic:
+            raise FileNotFoundError(
+                f"no semantic checkpoint under {sem_dir} "
+                f"(train_semantic_stack.py --lambda-rd {args.lambda_rd} "
+                "writes it); pass --allow-random-semantic to fine-tune "
+                "against a random frozen stack anyway"
+            )
 
     logger.info("building trainer (jitted init compile)")
     for h in logger.handlers:
