@@ -271,7 +271,6 @@ def main_tpu(args):
         return fps, [float(e) for e in errs_dev]
 
     def _run_pipelined_gop(gop: int | None = None):
-        gop = int(args.gop) if gop is None else gop
         """GOP-batched decode behind a one-GOP encode lookahead.
 
         Per-frame decode pays 10 relay pulls x ~35 ms; decompress_gop
@@ -283,26 +282,37 @@ def main_tpu(args):
         per-frame latency is fps_serial's number.  Bit-exactness: the
         decoder consumes the encoder-produced reference tensors and
         bitstreams, same as every other schedule."""
+        # clamp: gop < 1 would make the while loop below never advance
+        gop = max(1, int(args.gop) if gop is None else gop)
         ref_e, feat_e = dec0["recon"], dec0["feature"]
         errs_dev, pend, k = [], None, 0
 
-        def _encode_gop(k, g):
+        def _encode_gop(k, g, pump):
+            """Encode g frames; ``pump`` (the pending GOP-decode job's
+            step) advances decode host rounds between dispatch groups so
+            each relay pull waits on queued encode work instead of
+            idling the device (r3's schedule decoded only after the
+            whole next GOP was encoded: 0.14 s/frame naked stall)."""
             nonlocal ref_e, feat_e
             anchor = (ref_e, feat_e)
             streams, recons = [], []
             for j in range(g):
                 curr = frames[2 + ((k + j) % (len(frames) - 2))]
-                h = rt.compress_pipelined(ref_e, curr, sm, feat_e)
+                h = rt.compress_pipelined(ref_e, curr, sm, feat_e, pump=pump)
                 streams.append(rt.finish(h))  # host rANS overlaps device
                 recons.append(h["recon"])
                 ref_e, feat_e = h["recon"], h["feature"]
                 del h
             return anchor, streams, recons
 
-        def _decode_gop(p):
+        def _start_decode(p):
             (ref_d, feat_d), streams, recons = p
-            outs = rt.decompress_gop(ref_d, streams, sm, feat_d)
-            for o, r_enc in zip(outs, recons):
+            return rt.start_decompress_gop(ref_d, streams, sm, feat_d), recons
+
+        def _drain(job, recons):
+            while not job.step():
+                pass
+            for o, r_enc in zip(job.result, recons):
                 errs_dev.append(jnp.abs(
                     o["recon"].astype(jnp.float32)
                     - r_enc.astype(jnp.float32)
@@ -311,12 +321,12 @@ def main_tpu(args):
         t0 = time.perf_counter()
         while k < n_pipe:
             g = min(gop, n_pipe - k)
-            me = _encode_gop(k, g)
+            me = _encode_gop(k, g, pend[0].step if pend else None)
             if pend is not None:
-                _decode_gop(pend)
-            pend = me
+                _drain(*pend)
+            pend = _start_decode(me)
             k += g
-        _decode_gop(pend)
+        _drain(*pend)
         _ = float(errs_dev[-1])  # in-order device: everything is done
         fps = n_pipe * B / (time.perf_counter() - t0)
         return fps, [float(e) for e in errs_dev]
@@ -366,7 +376,7 @@ def main_tpu(args):
     # so the relay-latency stall amortizes over the GOP ----
     gop_leg = {}
     try:
-        n_gop = 4
+        n_gop = max(1, int(args.gop))  # same GOP size as the gop_pipeline leg
         streams, ref_g, feat_g = [], dec0["recon"], dec0["feature"]
         for t in range(n_gop):
             hg = rt.compress_pipelined(ref_g, frames[2 + t % 2], sm, feat_g)
