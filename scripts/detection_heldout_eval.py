@@ -1,0 +1,250 @@
+"""Held-out detection accuracy (VERDICT r3 item 5).
+
+Trains the depth-26 SELSA detector on N synthetic multi-class clips and
+scores mAP on M clips it never saw, through the FULL bitstream path
+(learned I-codec + semantic feature codec -> student -> RPN/RoI with
+temporal aggregation).  Replaces the 3-frame single-class overfit as the
+detector-accuracy evidence (parity role:
+/root/reference/temporal_roi_align.py:403-635 + mmtracking mAP over the
+held-out VID validation split).
+
+Classes are shape/color archetypes (4 of them + background), objects move
+with per-clip constant velocity over a textured background; the eval
+clips come from a disjoint seed range, so nothing is memorizable.
+
+Writes results/detection_heldout_map.json.
+
+CPU-only (leaves the TPU to training/bench jobs).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache_cpu")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
+import jax.numpy as jnp
+import numpy as np
+
+SIZE = 64
+MAX_GT = 2  # fixed GT slots per frame (padded + valid mask: jit-stable)
+
+# class archetypes: (color, aspect) — distinct enough to be learnable,
+# close enough that classification is non-trivial at 64px
+CLASSES = [
+    ((0.9, 0.2, 0.2), (1.0, 1.0)),   # 0: red square
+    ((0.2, 0.8, 0.3), (2.0, 0.7)),   # 1: green tall rectangle
+    ((0.95, 0.65, 0.15), (0.7, 2.0)),  # 2: orange wide rectangle
+    ((0.3, 0.4, 0.95), (1.0, 1.0)),  # 3: blue square (color-only vs 0)
+]
+
+
+def make_annotated_clip(seed: int, n_frames: int = 3, size: int = SIZE):
+    """Textured background + 1-2 moving class objects; (frames, annos)."""
+    rng = np.random.default_rng(seed)
+    # low-frequency background texture
+    base = rng.random((size // 8, size // 8, 3)).astype(np.float32)
+    bg = np.kron(base, np.ones((8, 8, 1), np.float32)) * 0.25 + 0.15
+
+    n_obj = int(rng.integers(1, MAX_GT + 1))
+    objs = []
+    for _ in range(n_obj):
+        cls = int(rng.integers(0, len(CLASSES)))
+        color, (ah, aw) = CLASSES[cls]
+        s = float(rng.uniform(14, 22))
+        h, w = min(s * ah, size * 0.55), min(s * aw, size * 0.55)
+        y = float(rng.uniform(2, size - h - 2))
+        x = float(rng.uniform(2, size - w - 2))
+        vy, vx = rng.uniform(-2.5, 2.5, size=2)
+        objs.append(dict(cls=cls, color=color, h=h, w=w, y=y, x=x, vy=vy, vx=vx))
+
+    frames, annos = [], []
+    for t in range(n_frames):
+        img = bg.copy()
+        boxes = np.zeros((MAX_GT, 4), np.float32)
+        labels = np.zeros((MAX_GT,), np.int64)
+        valid = np.zeros((MAX_GT,), bool)
+        for k, o in enumerate(objs):
+            y = np.clip(o["y"] + o["vy"] * t, 0, size - o["h"])
+            x = np.clip(o["x"] + o["vx"] * t, 0, size - o["w"])
+            y0, x0 = int(round(y)), int(round(x))
+            y1, x1 = int(round(y + o["h"])), int(round(x + o["w"]))
+            img[y0:y1, x0:x1] = o["color"]
+            boxes[k] = (x0, y0, x1, y1)
+            labels[k] = o["cls"]
+            valid[k] = True
+        frames.append(img)
+        annos.append({"boxes": boxes[valid], "labels": labels[valid],
+                      "boxes_padded": boxes, "labels_padded": labels,
+                      "valid": valid})
+    return frames, annos
+
+
+def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
+         out_path="results/detection_heldout_map.json"):
+    from deepsvc_tpu.core.image import Normalizer
+    from deepsvc_tpu.detect import SELSADetector
+    from deepsvc_tpu.detect.train_loop import DetectionTrainer, DetectionTrainConfig
+    from deepsvc_tpu.eval.detection_eval import VideoDetectionEvaluator, vid_map
+    from deepsvc_tpu.models import CodecRuntime, ImageCodec
+    from deepsvc_tpu.models.semantic import SemanticFeatureCodec
+    from deepsvc_tpu.train.image_trainer import ImageCodecTrainer, ImageTrainConfig
+    from scripts.detection_overfit_eval import merged_init
+
+    size, memo_len = SIZE, 3
+    det = SELSADetector(num_classes=5, sem_N=16, neck_channels=64, depth=26,
+                        proposals_per_frame=16)
+    norm = Normalizer()
+    hw = (size, size)
+
+    train_data = [make_annotated_clip(s) for s in range(train_clips)]
+    eval_data = [make_annotated_clip(500 + s) for s in range(eval_clips)]
+    eval_cls = sorted({int(l) for _, annos in eval_data
+                       for a in annos for l in a["labels"]})
+    print(f"train clips {train_clips}, eval clips {eval_clips}, "
+          f"eval classes present: {eval_cls}", flush=True)
+
+    # ---- detector init (union of the method param trees) ----
+    f0 = jnp.asarray(train_data[0][0][0])[None]
+    supp0 = jnp.zeros((2, 1, size // 4, size // 4, 256))
+    memo0 = jnp.zeros((memo_len, size // 16, size // 16, 64))
+    ref0 = jnp.zeros((memo_len * 16, 7, 7, 64))
+    gt0 = jnp.asarray(train_data[0][1][1]["boxes_padded"])
+    gl0 = jnp.asarray(train_data[0][1][1]["labels_padded"], jnp.int32)
+    gv0 = jnp.asarray(train_data[0][1][1]["valid"])
+    variables = merged_init(det, f0, supp0, memo0, ref0, gt0, gl0, gv0, hw)
+
+    # ---- I-codec trained on the TRAIN clips' frames (frozen after) ----
+    i_model = ImageCodec(N=32, M=40, num_slices=4, max_support_slices=2)
+    i_tr = ImageCodecTrainer(ImageTrainConfig(lmbda=0.15, lr=1e-3, seed=5),
+                             model=i_model, init_shape=(size, size))
+    rng = np.random.default_rng(7)
+    for s in range(i_steps):
+        picks = rng.integers(0, train_clips, size=3)
+        batch = jnp.stack([jnp.asarray(train_data[p][0][t])
+                           for p, t in zip(picks, rng.integers(0, 3, size=3))])
+        im = i_tr.train_batch(batch)
+        if s % 100 == 0 or s == i_steps - 1:
+            print(f"i-codec step {s}: loss={im['loss']:.2f} "
+                  f"bpp={im['bpp']:.3f} mse={im['distortion']:.5f}", flush=True)
+    i_rt = CodecRuntime(i_model, i_tr.state.params)
+
+    cfg = DetectionTrainConfig(fea_weight=20.0, lr=2e-4)
+    trainer = DetectionTrainer(cfg, det, variables, teacher_apply=None)
+
+    _extract_i = jax.jit(lambda v, xn: det.apply(v, xn, method=det.extract_i))
+    _refs = jax.jit(lambda v, memo: det.apply(v, memo, hw,
+                                              method=det.ref_roi_feats))
+
+    # decoded I-frames are fixed (frozen codec): cache them per clip
+    i_recs = []
+    for frames, _ in train_data:
+        x0 = jnp.asarray(frames[0])[None]
+        i_recs.append(jnp.clip(i_rt.decompress(i_rt.compress(x0))["x_hat"], 0, 1))
+
+    steps_per_visit = 4  # 2 P-frames x 2 reps per clip visit
+    s = 0
+    clip_order = rng.permutation(train_clips)
+    ci = 0
+    while s < steps:
+        clip = int(clip_order[ci % train_clips])
+        ci += 1
+        frames, annos = train_data[clip]
+        # (re)build the frozen-I context with CURRENT neck params
+        sm0, fmap_i = _extract_i(trainer.state.params,
+                                 norm(i_recs[clip] * 255.0))
+        supp = jnp.stack([sm0, sm0])
+        memo = jnp.repeat(fmap_i, memo_len, axis=0)
+        refs = _refs(trainer.state.params, memo)
+        for rep in range(steps_per_visit):
+            t = 1 + rep % 2
+            m = trainer.train_frame(
+                norm(jnp.asarray(frames[t])[None] * 255.0), supp, memo, refs,
+                None,
+                jnp.asarray(annos[t]["boxes_padded"]),
+                jnp.asarray(annos[t]["labels_padded"], jnp.int32),
+                jnp.asarray(annos[t]["valid"]),
+            )
+            s += 1
+        if s % 80 < steps_per_visit:
+            print(f"step {s}: det={m['det']:.4f} rpn_cls={m['rpn_cls']:.4f} "
+                  f"roi_cls={m['roi_cls']:.4f} roi_reg={m['roi_reg']:.4f}",
+                  flush=True)
+
+    trained = trainer.state.params
+
+    # ---- held-out eval through the full bitstream path ----
+    sm_rt = CodecRuntime(
+        SemanticFeatureCodec(N=det.sem_N),
+        {"params": trained["params"]["student"]["layer1"]},
+    )
+    ev = VideoDetectionEvaluator(det, trained, i_rt, sm_rt, gop=12,
+                                 memo_len=memo_len, multi_supp=True)
+    all_results, all_annos, stats_acc = [], [], []
+    for frames, annos in eval_data:
+        results, stats = ev.evaluate_sequence(iter(frames), (size, size),
+                                              max_frames=len(frames))
+        all_results.extend(results)
+        all_annos.extend(annos)
+        stats_acc.append(stats)
+
+    scored = vid_map(all_results, all_annos, num_classes=det.num_classes)
+    # sanity floor: score a random detector the same way
+    rng2 = np.random.default_rng(99)
+    from deepsvc_tpu.eval.detection_eval import DetectionResult
+
+    chance = [
+        DetectionResult(
+            frame_index=i,
+            boxes=np.sort(rng2.uniform(0, size, (16, 4)).astype(np.float32))
+            .reshape(16, 4),
+            scores=rng2.random(16).astype(np.float32),
+            labels=rng2.integers(0, det.num_classes, 16),
+            is_iframe=False, bpp=0.0,
+        )
+        for i in range(len(all_annos))
+    ]
+    chance_map = vid_map(chance, all_annos, num_classes=det.num_classes)["mAP"]
+
+    out = {
+        "mAP": scored["mAP"],
+        "ap_per_class": scored["ap_per_class"],
+        "chance_mAP": chance_map,
+        "eval_classes_present": eval_cls,
+        "train_clips": train_clips,
+        "eval_clips": eval_clips,
+        "eval_frames": len(all_annos),
+        "steps": steps,
+        "ibpp": float(np.mean([st["ibpp"] for st in stats_acc])),
+        "pfeabpp": float(np.mean([st["pfeabpp"] for st in stats_acc])),
+        "ipsnr": float(np.mean([st["ipsnr"] for st in stats_acc])),
+        "detector": "depth-26 SELSA, tiny codecs, held-out synthetic clips",
+    }
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    print(json.dumps({k: out[k] for k in
+                      ("mAP", "chance_mAP", "ap_per_class", "ipsnr")}))
+    return out
+
+
+if __name__ == "__main__":
+    p = argparse.ArgumentParser()
+    p.add_argument("--train-clips", type=int, default=32)
+    p.add_argument("--eval-clips", type=int, default=8)
+    p.add_argument("--steps", type=int, default=1600)
+    p.add_argument("--i-steps", type=int, default=400)
+    p.add_argument("--out", type=str,
+                   default="results/detection_heldout_map.json")
+    a = p.parse_args()
+    main(train_clips=a.train_clips, eval_clips=a.eval_clips, steps=a.steps,
+         i_steps=a.i_steps, out_path=a.out)
