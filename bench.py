@@ -33,6 +33,7 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
 import sys
 import time
 
@@ -88,6 +89,29 @@ def main_tpu(args):
         model = PFrameCodec(dtype=jnp.bfloat16)
     variables = init_pframe_variables(model, jax.random.PRNGKey(0), H=128, W=128)
     jax.block_until_ready(variables)
+
+    # Trained weights when available (VERDICT r3 item 7: random-weight
+    # codecs make i_bpp/psnr meaningless).  Params are stored f32; the
+    # bf16 model casts at compute time (layers.Conv), so the same
+    # checkpoint serves training and the bf16 bench.
+    ckpt_note = "random init"
+    if not TINY and os.path.isdir(os.path.join(args.ckpt_root, "mse_640")):
+        try:
+            from deepsvc_tpu.train import TrainState, make_optimizer
+            from deepsvc_tpu.utils.checkpoint import CheckpointManager
+
+            tx = make_optimizer(variables)
+            template = TrainState.create(variables, tx, jax.random.PRNGKey(0))
+            mgr = CheckpointManager(
+                os.path.join(args.ckpt_root, "mse_640", "checkpoints"))
+            restored, step = mgr.restore(template)
+            if restored is not None:
+                variables = restored.params
+                ckpt_note = f"{args.ckpt_root}/mse_640 step {step}"
+                print(f"bench: loaded P checkpoint {ckpt_note}", file=sys.stderr)
+        except Exception as e:
+            print(f"bench: P checkpoint load failed ({e}); random init",
+                  file=sys.stderr)
     rt = PFrameRuntime(model, variables)
 
     # --batch N: N independent streams ride one batch axis — device work
@@ -453,6 +477,25 @@ def main_tpu(args):
                                    rng=jax.random.PRNGKey(1))
         )(jax.random.PRNGKey(0))
         jax.block_until_ready(i_vars)
+        i_ckpt_note = "random init"
+        if os.path.isdir(os.path.join(args.ckpt_root, "image_mse_640")):
+            try:
+                from deepsvc_tpu.train import TrainState, make_optimizer
+                from deepsvc_tpu.utils.checkpoint import CheckpointManager
+
+                tx = make_optimizer(i_vars)
+                template = TrainState.create(i_vars, tx, jax.random.PRNGKey(0))
+                mgr = CheckpointManager(
+                    os.path.join(args.ckpt_root, "image_mse_640", "checkpoints"))
+                restored, step = mgr.restore(template)
+                if restored is not None:
+                    i_vars = restored.params
+                    i_ckpt_note = f"{args.ckpt_root}/image_mse_640 step {step}"
+                    print(f"bench: loaded I checkpoint {i_ckpt_note}",
+                          file=sys.stderr)
+            except Exception as e:
+                print(f"bench: I checkpoint load failed ({e}); random init",
+                      file=sys.stderr)
         i_rt = CodecRuntime(i_model, i_vars, encoder_xhat=False)
         x_i = frames[0]
         i_enc_t, i_dec_t, i_bpp = [], [], 0.0
@@ -475,6 +518,7 @@ def main_tpu(args):
             "i_dec_s": round(i_dec, 4),
             "i_bpp": round(i_bpp, 4),
             "gop12_fps": round(gop_fps, 4),
+            "i_checkpoint": i_ckpt_note,
         }
       except Exception as e:  # leg-local failure must not kill the JSON
         i_leg = {"i_leg_error": f"{type(e).__name__}: {e}"[:200]}
@@ -504,6 +548,7 @@ def main_tpu(args):
         ),
         "encode_transform_tflops": round(flops / 1e12, 3),
         "mfu_vs_357tf": round(mfu, 4),
+        "p_checkpoint": ckpt_note,
         # value (pipelined) and fps_serial are both reported because
         # mid-round vs driver-recorded numbers have disagreed (r2: 0.823
         # builder vs 0.722 driver, single measurements on a shared box
@@ -619,6 +664,9 @@ if __name__ == "__main__":
                         "serving throughput (per-stream latency rises)")
     p.add_argument("--space", type=int, default=0,
                    help="run the spatial-sharding CPU-mesh bench instead")
+    p.add_argument("--ckpt-root", type=str, default="output/rd_round4",
+                   help="load trained P/I checkpoints from this root when "
+                        "present (mse_640 + image_mse_640 layout)")
     p.add_argument("--no-iframe", action="store_true")
     p.add_argument("--smoke", action="store_true",
                    help="tiny model at 128x128 on CPU: code-path check only")

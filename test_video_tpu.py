@@ -36,6 +36,9 @@ def get_args():
                         "path when no real dataset is mounted")
     p.add_argument("--synthetic-size", type=str, default="192x320",
                    help="HxW of the synthetic sequence")
+    p.add_argument("--synthetic-seed", type=int, default=7,
+                   help="sequence seed; trainers use seed 16, so any other "
+                        "value is held-out w.r.t. the training stream")
     p.add_argument("--cpu", action="store_true",
                    help="force the CPU backend (sitecustomize pins "
                         "jax_platforms, so the JAX_PLATFORMS env var "
@@ -190,8 +193,8 @@ def main():
             from deepsvc_tpu.data.synthetic import make_clip_batch
 
             h, w = (int(v) for v in args.synthetic_size.split("x"))
-            rng = np.random.default_rng(7)
-            n = min(args.frames, 25)
+            rng = np.random.default_rng(args.synthetic_seed)
+            n = min(args.frames, 96)
             # same moving-texture distribution the synthetic trainers see
             clip = make_clip_batch(rng, frames=n, batch=1, height=h, width=w)
 
