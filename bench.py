@@ -331,7 +331,11 @@ def main_tpu(args):
 
         def _start_decode(p):
             (ref_d, feat_d), streams, recons = p
-            return rt.start_decompress_gop(ref_d, streams, sm, feat_d), recons
+            # light: only recon survives per frame — a per-frame 64ch
+            # feature reference (267 MB/stream at 1080p) OOMed every
+            # B=2 schedule in r3
+            return (rt.start_decompress_gop(ref_d, streams, sm, feat_d,
+                                            light=True), recons)
 
         def _drain(job, recons):
             while not job.step():

@@ -262,8 +262,8 @@ class PFrameRuntime:
         self.gop_times = job.times
         return job.result
 
-    def start_decompress_gop(self, ref, streams, sm_fea, feature=None
-                             ) -> "GOPDecodeJob":
+    def start_decompress_gop(self, ref, streams, sm_fea, feature=None,
+                             light: bool = False) -> "GOPDecodeJob":
         """Resumable GOP decode: drive with job.step() until job.done.
 
         Passing ``job.step`` as the ``pump`` of a concurrent
@@ -271,8 +271,16 @@ class PFrameRuntime:
         the next GOP's encode dispatch groups, so each relay pull waits
         on queued useful work instead of idling the device (the r3
         gop_pipeline decoded only AFTER the whole next GOP was encoded,
-        leaving 0.14 s/frame of naked stall)."""
-        return GOPDecodeJob(self, ref, streams, sm_fea, feature)
+        leaving 0.14 s/frame of naked stall).
+
+        ``light=True``: per-frame results carry only ``recon`` (plus the
+        final frame's ``feature``).  The recurrent 64-ch feature is
+        267 MB/frame/stream at 1080p bf16; holding one per decoded frame
+        across a GOP window is what OOMed every batch_streams=2 schedule
+        in r3 (results/bench_r3_b2.err).  The decode computes exactly the
+        same tensors either way — light only drops the references so XLA
+        can recycle the buffers."""
+        return GOPDecodeJob(self, ref, streams, sm_fea, feature, light=light)
 
 
 class GOPDecodeJob:
@@ -281,11 +289,13 @@ class GOPDecodeJob:
     finish (same executables and inputs as per-frame decode — bitwise
     identical results)."""
 
-    def __init__(self, rt: PFrameRuntime, ref, streams, sm_fea, feature):
+    def __init__(self, rt: PFrameRuntime, ref, streams, sm_fea, feature,
+                 light: bool = False):
         self.rt = rt
         self.ref = ref
         self.sm_fea = sm_fea
         self.feature = feature
+        self.light = light
         self.times = []
         self.done = False
         self.result = None
@@ -337,13 +347,18 @@ class GOPDecodeJob:
                 v, r["means"], r["prev"], r["mu"], r["syms"], ref,
                 mc["predict_fea"], mc["warp_fea"],
             )
-            results.append({
-                "feature": fin["feature"],
-                "recon": fin["recon"],
-                "warped": jax.numpy.clip(mc["warped"], 0.0, 1.0),
-                "predict_frame": jax.numpy.clip(mc["predict_frame"], 0.0, 1.0),
-            })
+            if self.light:
+                results.append({"recon": fin["recon"]})
+            else:
+                results.append({
+                    "feature": fin["feature"],
+                    "recon": fin["recon"],
+                    "warped": jax.numpy.clip(mc["warped"], 0.0, 1.0),
+                    "predict_frame": jax.numpy.clip(mc["predict_frame"], 0.0, 1.0),
+                })
             ref, feature = fin["recon"], fin["feature"]
+        if self.light:
+            results[-1]["feature"] = feature
         self.jobs = None  # release chain intermediates
         self.result = results
         self.done = True
