@@ -85,6 +85,8 @@ def main_tpu(args):
 
     if TINY:
         model = PFrameCodec(mv_latent=16, res_latent=16, dtype=jnp.float32)
+    elif args.fast:
+        model = PFrameCodec(me_base_scale=2, fuse_scale=2, dtype=jnp.bfloat16)
     else:
         model = PFrameCodec(dtype=jnp.bfloat16)
     variables = init_pframe_variables(model, jax.random.PRNGKey(0), H=128, W=128)
@@ -671,6 +673,10 @@ if __name__ == "__main__":
     p.add_argument("--ckpt-root", type=str, default="output/rd_round4",
                    help="load trained P/I checkpoints from this root when "
                         "present (mse_640 + image_mse_640 layout)")
+    p.add_argument("--fast", action="store_true",
+                   help="bench the fast serving profile (half-res flow "
+                        "base + MC fusion); point --ckpt-root at a "
+                        "matching fast-profile training root")
     p.add_argument("--no-iframe", action="store_true")
     p.add_argument("--smoke", action="store_true",
                    help="tiny model at 128x128 on CPU: code-path check only")

@@ -80,6 +80,10 @@ class ModelConfig(Config):
     feature_channels: int = 64  # feature-space residual width
     context_channels: int = 32  # InterLayerPrediction `up_out`
     semantic_channels: int = 256  # stage-1 semantic feature width
+    # fast serving profile (1 = reference-shaped, 2 = half-res flow base
+    # / MC-fusion branch; models/flow.py + models/pframe.py)
+    me_base_scale: int = 1
+    fuse_scale: int = 1
 
 
 @dataclass

@@ -34,8 +34,18 @@ def build_pframe_codec(cfg: DeepSVCConfig, dtype=jnp.float32):
         mv_latent=cfg.model.mv_latent,
         res_latent=cfg.model.res_latent,
         feature_channels=cfg.model.feature_channels,
+        me_base_scale=cfg.model.me_base_scale,
+        fuse_scale=cfg.model.fuse_scale,
         dtype=dtype,
     )
+
+
+def fast_config(cfg: DeepSVCConfig | None = None) -> DeepSVCConfig:
+    """The fast serving profile: half-res flow base + half-res MC fusion
+    branch (r4 perf redesign; RD cost measured against the
+    reference-shaped profile in the r4 campaign)."""
+    cfg = cfg or DeepSVCConfig()
+    return cfg.override({"model.me_base_scale": 2, "model.fuse_scale": 2})
 
 
 def build_image_codec(cfg: DeepSVCConfig, dtype=jnp.float32):

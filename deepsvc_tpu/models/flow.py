@@ -49,14 +49,29 @@ class MEBasic(nn.Module):
 
 class MESpynet(nn.Module):
     """4-level coarse-to-fine flow: flow(im2 -> im1) in pixels
-    (modules.py:142-170)."""
+    (modules.py:142-170).
+
+    ``base_scale=2`` runs the whole pyramid on 2x-downsampled frames and
+    upsamples the flow at the end (values doubled back to full-res
+    pixels).  The finest level's 5x conv7 chain at 1080p is ~2/3 of the
+    flow cost; the MV codec's RefineNet sees the full-res frames either
+    way, so the precision loss is partially recovered downstream (the
+    fast serving profile, r4 perf redesign — reference always runs full
+    res)."""
 
     levels: int = 4
+    base_scale: int = 1
     dtype: Dtype = jnp.float32
     packed: bool = False
 
     @nn.compact
     def __call__(self, im1, im2):
+        if self.base_scale == 2:
+            flow = self._pyramid(avg_pool_2x2(im1), avg_pool_2x2(im2))
+            return bilinear_up2(flow) * 2.0
+        return self._pyramid(im1, im2)
+
+    def _pyramid(self, im1, im2):
         pyr1 = [im1]
         pyr2 = [im2]
         for _ in range(self.levels - 1):

@@ -48,6 +48,16 @@ class InterLayerPrediction(nn.Module):
     hidden: int = 64
     up_out: int = 32
     out_ch: int = 3
+    # fuse_scale=2: the semantic-fusion context branch (fea_convert /
+    # fea_embd / fea_ext / weight / out_conv) and the warped-feature
+    # embedding run at HALF resolution and the 32-ch context + blend
+    # weights are bilinearly upsampled before blending with the FULL-RES
+    # warped frame.  ~4x cheaper on the branch convs and ~4x fewer
+    # gather rows on the 64-ch feature warp; the pixel-detail path
+    # (warped frame, feature_extractor, reconstruction) stays full-res.
+    # The fast serving profile (r4 perf redesign) — the reference always
+    # fuses at full resolution (modules.py:377-438).
+    fuse_scale: int = 1
     dtype: Dtype = jnp.float32
     packed: bool = False  # convs via the exact h2 lowering (layers.Conv)
 
@@ -96,16 +106,37 @@ class InterLayerPrediction(nn.Module):
         return leaky_relu(self.in_conv1(feature), 0.01)
 
     def fuse(self, warped, mv, sm_fea, fea_warped):
-        """Post-warp fusion with the semantic feature."""
-        curr = self.fea_convert(self.d2s_conv(pixel_shuffle(sm_fea, 4)))
+        """Post-warp fusion with the semantic feature.
+
+        ``fea_warped`` is at full resolution when fuse_scale == 1, at
+        half resolution when fuse_scale == 2 (mc_stage warps the
+        embedding in the matching space)."""
+        from ..ops import bilinear_up2
+
+        s = self.fuse_scale
+        curr = self.fea_convert(self.d2s_conv(pixel_shuffle(sm_fea, 4 // s)))
         fea3 = self.fea_embd(jnp.concatenate([fea_warped, curr], axis=-1))
         up_out = self.fea_ext(fea3)
         w = self.weight(up_out)
-        out = w * warped + (1.0 - w) * self.out_conv(up_out)
+        ctx = self.out_conv(up_out)
+        if s == 2:
+            up_out = bilinear_up2(up_out)
+            w = bilinear_up2(w)
+            ctx = bilinear_up2(ctx)
+        out = w * warped + (1.0 - w) * ctx
         return up_out, out
 
     def __call__(self, ref_frame, warped, mv, sm_fea, feature=None):
-        fea = warp(self.embed(ref_frame, feature), mv)
+        from ..ops import avg_pool_2x2
+
+        if self.fuse_scale == 2:
+            # embed on the DOWNSAMPLED source (saves the in_conv cost
+            # too), warp on the half-res grid with half-pixel flow
+            ref_h = avg_pool_2x2(ref_frame)
+            fea_h = None if feature is None else avg_pool_2x2(feature)
+            fea = warp(self.embed(ref_h, fea_h), avg_pool_2x2(mv) * 0.5)
+        else:
+            fea = warp(self.embed(ref_frame, feature), mv)
         return self.fuse(warped, mv, sm_fea, fea)
 
 
@@ -115,6 +146,10 @@ class PFrameCodec(nn.Module):
     mv_latent: int = 64
     res_latent: int = 96
     feature_channels: int = 64
+    # fast serving profile knobs (1 = reference-shaped; 2 = half-res
+    # flow base / MC fusion branch — see MESpynet / InterLayerPrediction)
+    me_base_scale: int = 1
+    fuse_scale: int = 1
     dtype: Dtype = jnp.float32
     packed: bool = True  # exact h2 conv lowering for the transform stacks
 
@@ -122,12 +157,14 @@ class PFrameCodec(nn.Module):
         dt = self.dtype
         nf = self.feature_channels
         pk = self.packed
-        self.optic_flow = MESpynet(dtype=dt, packed=pk)
+        self.optic_flow = MESpynet(base_scale=self.me_base_scale,
+                                   dtype=dt, packed=pk)
         self.mv_codec = ConditionalCodec(in_ch=8, N=self.mv_latent, out_ch=2, dtype=dt)
         self.res_codec = ConditionalCodec(
             in_ch=nf + 6, N=self.res_latent, out_ch=nf, dtype=dt
         )
-        self.mc = InterLayerPrediction(dtype=dt, packed=pk)
+        self.mc = InterLayerPrediction(fuse_scale=self.fuse_scale,
+                                       dtype=dt, packed=pk)
         self.refine_mv = RefineNet(hidden=64, out_ch=2, dtype=dt, packed=pk)
         self.refine_res = RefineNet(hidden=64, out_ch=nf, dtype=dt, packed=pk)
         self.feature_extractor = FeatureExtraction(nf, dtype=dt, packed=pk)
@@ -143,16 +180,30 @@ class PFrameCodec(nn.Module):
     def mc_stage(self, ref, recon_mv1, sm_fea, feature=None):
         """MV refine -> warp -> inter-layer MC (video_model.py:34-45).
 
-        The frame warp and the MC feature warp share one gather (warp is
-        per-channel, so warping the channel-concat is exact; gather cost
-        on TPU is per-row, making one 67ch warp cheaper than 3ch + 64ch).
+        fuse_scale=1: the frame warp and the MC feature warp share one
+        gather (warp is per-channel, so warping the channel-concat is
+        exact; gather cost on TPU is per-row, making one 67ch warp
+        cheaper than 3ch + 64ch).  fuse_scale=2: the 64-ch feature warp
+        moves to the half-res grid (~4x fewer gather rows) and only the
+        3-ch frame warps at full res.
         """
+        from ..ops import avg_pool_2x2
+
         recon_mv = self.refine_mv(recon_mv1, ref)
-        fea = self.mc.embed(ref, feature)
-        joint = warp(jnp.concatenate([ref, fea], axis=-1), recon_mv)
-        warped = joint[..., :3]
-        warp_fea, predict_frame = self.mc.fuse(warped, recon_mv, sm_fea,
-                                               joint[..., 3:])
+        if self.fuse_scale == 2:
+            warped = warp(ref, recon_mv)
+            ref_h = avg_pool_2x2(ref)
+            fea_h = None if feature is None else avg_pool_2x2(feature)
+            fea_w = warp(self.mc.embed(ref_h, fea_h),
+                         avg_pool_2x2(recon_mv) * 0.5)
+            warp_fea, predict_frame = self.mc.fuse(warped, recon_mv, sm_fea,
+                                                   fea_w)
+        else:
+            fea = self.mc.embed(ref, feature)
+            joint = warp(jnp.concatenate([ref, fea], axis=-1), recon_mv)
+            warped = joint[..., :3]
+            warp_fea, predict_frame = self.mc.fuse(warped, recon_mv, sm_fea,
+                                                   joint[..., 3:])
         predict_fea = self.feature_extractor(predict_frame)
         return {
             "recon_mv": recon_mv,
@@ -313,7 +364,8 @@ def init_pframe_variables(module: PFrameCodec, rng, H=64, W=64, batch=1):
                               rng=jax.random.PRNGKey(0))
     )(rng)
 
-    mc = InterLayerPrediction(dtype=module.dtype, packed=module.packed)
+    mc = InterLayerPrediction(fuse_scale=module.fuse_scale,
+                              dtype=module.dtype, packed=module.packed)
     mv = jnp.zeros((batch, H, W, 2))
     v_mc = jax.jit(
         lambda r: mc.init({"params": r}, ref, ref, mv, sm, None)

@@ -48,6 +48,11 @@ def get_args():
     p.add_argument("--synthetic", action="store_true",
                    help="train on synthetic clips (smoke/e2e testing)")
     p.add_argument("--tiny", action="store_true", help="tiny model config")
+    p.add_argument("--fast", action="store_true",
+                   help="fast serving profile (half-res flow base + MC "
+                        "fusion; core/factory.fast_config).  Use a distinct "
+                        "--log-root: the checkpoint is not interchangeable "
+                        "with the reference-shaped profile")
     p.add_argument("--resume", action="store_true")
     return p.parse_args()
 
@@ -81,11 +86,13 @@ def main():
         json.dump({**vars(args), "config": cfg.to_dict()}, f, indent=2, default=str)
 
     from deepsvc_tpu.core.config import DeepSVCConfig
-    from deepsvc_tpu.core.factory import build_pframe_codec, tiny_config
+    from deepsvc_tpu.core.factory import build_pframe_codec, fast_config, tiny_config
 
     tree = DeepSVCConfig(train=cfg)
     if args.tiny:
         tree = tiny_config(tree)
+    if args.fast:
+        tree = fast_config(tree)
     model = build_pframe_codec(tree)
     logger.info("building trainer (jitted init compile; minutes on cold cache)")
     for h in logger.handlers:
