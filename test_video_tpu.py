@@ -43,6 +43,10 @@ def get_args():
                    help="force the CPU backend (sitecustomize pins "
                         "jax_platforms, so the JAX_PLATFORMS env var "
                         "has no effect in this environment)")
+    p.add_argument("--fast", action="store_true",
+                   help="evaluate the fast serving profile "
+                        "(core/factory.fast_config); point "
+                        "--checkpoint-root at a fast-profile root")
     return p.parse_args()
 
 
@@ -60,6 +64,7 @@ def build_runtimes(args, lam):
         build_pframe_codec,
         build_student,
         build_teacher,
+        fast_config,
         tiny_config,
     )
     from deepsvc_tpu.models import (
@@ -71,6 +76,8 @@ def build_runtimes(args, lam):
 
     tiny = args.smoke and not getattr(args, "synthetic", False)
     cfg = tiny_config() if tiny else DeepSVCConfig()
+    if getattr(args, "fast", False):
+        cfg = fast_config(cfg)
     i_model = build_image_codec(cfg)
     p_model = build_pframe_codec(cfg)
 

@@ -184,3 +184,27 @@ class TestBatchedStreams:
             out1 = rt.decompress(ref[b : b + 1], mv1, res1, sm[b : b + 1], None)
             diff = np.abs(np.asarray(out["recon"][b]) - np.asarray(out1["recon"][0]))
             assert diff.mean() < 1e-2, diff.mean()
+
+
+class TestFastProfile:
+    """Fast serving profile (me_base_scale=2, fuse_scale=2): same API,
+    same bitstream machinery, half-res flow base + MC fusion branch."""
+
+    def test_fast_roundtrip_bitexact(self, rng):
+        m = PFrameCodec(mv_latent=16, res_latent=16, me_base_scale=2,
+                        fuse_scale=2)
+        variables = init_pframe_variables(m, jax.random.PRNGKey(0), H=64, W=64)
+        rt = PFrameRuntime(m, variables)
+        ref, curr, sm = _inputs(rng)
+
+        mv_bs, res_bs = rt.compress(ref, curr, sm, None)
+        out = rt.decompress(ref, mv_bs, res_bs, sm, None)
+        assert out["recon"].shape == (1, 64, 64, 3)
+        enc_mv = rt.mv_rt._last_encode["y_hat"]
+        mv_dec = rt.mv_rt.decompress(mv_bs)
+        np.testing.assert_array_equal(np.asarray(mv_dec["y_hat"]),
+                                      np.asarray(enc_mv))
+        # recurrent branch also traces (feature path embeds at half res)
+        mv2, res2 = rt.compress(out["recon"], curr, sm, out["feature"])
+        out2 = rt.decompress(out["recon"], mv2, res2, sm, out["feature"])
+        assert np.isfinite(np.asarray(out2["recon"])).all()
