@@ -145,6 +145,40 @@ class TestPFrameBitExact:
                 np.testing.assert_array_equal(np.asarray(s[k]), np.asarray(g[k]))
 
 
+    def test_gop_job_pumped_and_light_bitwise(self, prt):
+        """GOPDecodeJob driven as a pump of the NEXT GOP's encode (the
+        bench gop_pipeline schedule) must produce bitwise the same recons
+        as sequential decode; light mode only drops references."""
+        frames = _frames(6)
+        sm = jnp.zeros((1, 16, 16, 256), jnp.float32)
+        streams, ref, feat = [], frames[0], None
+        for t in range(1, 3):
+            h = prt.compress_pipelined(ref, frames[t], sm, feat)
+            streams.append(prt.finish(h))
+            ref, feat = h["recon"], h["feature"]
+        # sequential reference decode
+        seq, r, f = [], frames[0], None
+        for mv_bs, res_bs in streams:
+            dec = _decode(prt, r, mv_bs, res_bs, sm, f)
+            seq.append(dec)
+            r, f = dec["recon"], dec["feature"]
+        # pumped + light job: its rounds interleave with another encode
+        job = prt.start_decompress_gop(frames[0], streams, sm, None,
+                                       light=True)
+        h2 = prt.compress_pipelined(ref, frames[3], sm, feat, pump=job.step)
+        prt.finish(h2)
+        while not job.step():
+            pass
+        assert len(job.result) == 2
+        for s, g in zip(seq, job.result):
+            np.testing.assert_array_equal(np.asarray(s["recon"]),
+                                          np.asarray(g["recon"]))
+        # light keeps only the final frame's feature
+        assert "feature" not in job.result[0]
+        np.testing.assert_array_equal(np.asarray(seq[-1]["feature"]),
+                                      np.asarray(job.result[-1]["feature"]))
+
+
 class TestImageCodecBitExact:
     @pytest.mark.slow  # 27s cold; fast-lane image bitexactness = test_interleaved_multistream below
     def test_encoder_xhat_equals_decode_bitwise(self):
