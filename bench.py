@@ -371,6 +371,8 @@ def main_tpu(args):
         ("lookahead", lambda: _run_pipelined(True)),
         ("no_lookahead", lambda: _run_pipelined(False)),
     ]
+    if args.schedule:  # force one schedule (A/B sweeps)
+        candidates = [c for c in candidates if c[0] == args.schedule]
     fps_pipe, errs, pipelined_mode, attempts = 0.0, None, "none", {}
     for name, fn in candidates:
         try:
@@ -677,6 +679,10 @@ if __name__ == "__main__":
                    help="bench the fast serving profile (half-res flow "
                         "base + MC fusion); point --ckpt-root at a "
                         "matching fast-profile training root")
+    p.add_argument("--schedule", type=str, default=None,
+                   choices=["gop_pipeline", "decode_thread", "lookahead",
+                            "no_lookahead"],
+                   help="force one pipelined schedule (A/B sweeps)")
     p.add_argument("--no-iframe", action="store_true")
     p.add_argument("--smoke", action="store_true",
                    help="tiny model at 128x128 on CPU: code-path check only")
