@@ -25,11 +25,20 @@ timeout 1800 python train_image.py --lmbda 0.0067 --steps 1500 --synthetic \
   --batch-size 8 --log-root $OUT
 log PHASE14_I80 $?
 
-# 4-point structure+texture sweep (--no-semantic: one consistent curve;
-# the three-layer smbpp>0 evidence lives in eval_3layer/eval_semft)
+# semantic stacks for the two new points (0.15 s/it measured at 640 —
+# the graph is compile-cached, ~3 min each)
+timeout 1200 python train_semantic_stack.py --lambda-rd 160 --synthetic \
+  --steps 600 --batch-size 2 --log-root $OUT
+log PHASE15_SEM160 $?
+timeout 1200 python train_semantic_stack.py --lambda-rd 80 --synthetic \
+  --steps 600 --batch-size 2 --log-root $OUT
+log PHASE16_SEM80 $?
+
+# 4-point sweep with semantic bits in-stream at every rate point (the
+# reference protocol, test_video.py:219-265)
 timeout 3600 python test_video_tpu.py --synthetic --metric mse \
   --lambdas 80 160 320 640 --checkpoint-root $OUT --frames 25 \
-  --no-semantic --output $OUT/eval_4pt
+  --output $OUT/eval_4pt
 log PHASE17_EVAL4PT $?
 cp $OUT/eval_4pt/MSE/HEVC_D/HEVC_D_MSE.json $RES/rd_r4_4pt_agg.json 2>/dev/null
 for L in 80 160 320 640; do
