@@ -35,7 +35,9 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 import jax.numpy as jnp
 import numpy as np
 
-SIZE = 64
+SIZE = 128  # x64 multiple (eval pads to x64); 8x8 neck map at /16 —
+# the first run at 64px (4x4 map) localized at chance level: anchor
+# granularity 16px vs 14-22px boxes cannot reach IoU 0.5 held-out
 MAX_GT = 2  # fixed GT slots per frame (padded + valid mask: jit-stable)
 
 # class archetypes: (color, aspect) — distinct enough to be learnable,
@@ -60,11 +62,11 @@ def make_annotated_clip(seed: int, n_frames: int = 3, size: int = SIZE):
     for _ in range(n_obj):
         cls = int(rng.integers(0, len(CLASSES)))
         color, (ah, aw) = CLASSES[cls]
-        s = float(rng.uniform(14, 22))
+        s = float(rng.uniform(size * 0.22, size * 0.34))
         h, w = min(s * ah, size * 0.55), min(s * aw, size * 0.55)
         y = float(rng.uniform(2, size - h - 2))
         x = float(rng.uniform(2, size - w - 2))
-        vy, vx = rng.uniform(-2.5, 2.5, size=2)
+        vy, vx = rng.uniform(-size / 25.0, size / 25.0, size=2)
         objs.append(dict(cls=cls, color=color, h=h, w=w, y=y, x=x, vy=vy, vx=vx))
 
     frames, annos = [], []
