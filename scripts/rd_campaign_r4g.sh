@@ -1,0 +1,160 @@
+#!/bin/bash
+# Round-4 campaign, take 2: the machine hosting the round was restarted
+# and /root/repo/output (uncommitted checkpoints, compile cache) was
+# wiped, so the r4a-r4f chain's artifacts never landed in results/.
+# This script re-runs the WHOLE campaign from zero in one go, with
+# epoch-based time gates so whatever the clock allows still leaves
+# committed artifacts in priority order:
+#   1. trained 640+320 stacks (P, I, semantic)  -> early 1-lambda eval
+#      whose JSON finally codes semantic bits (smbpp > 0)
+#   2. 160 [+ 80] stacks -> 4-point eval -> BD-rate vs the r3 curve
+#   3. 96-frame held-out eval at 448x832 (seed 1234 != train seed 16)
+#   4. step-2 semantic fine-tune + its eval (stack staged this time)
+#   5. one MS-SSIM-trained point
+# bench.py runs at the end so BENCH artifacts use trained weights.
+# Usage: rd_campaign_r4g.sh [DEADLINE_EPOCH]
+set -x
+cd /root/repo
+OUT=output/rd_round4
+RES=results
+mkdir -p $OUT
+
+DEADLINE=${1:-$(date -d '23:45' +%s)}
+log() { echo "$1 rc=$2 $(date +%H:%M:%S)" >> $OUT/campaign.log; }
+left() { echo $(( (DEADLINE - $(date +%s)) / 60 )); }  # minutes
+
+# ---- lambda = 640 (flagship: bench loads mse_640/image_mse_640) ------
+timeout 4800 python main.py --lambda-rd 640 --synthetic --batch-size 4 \
+  --steps 1400 --stage-steps 200,300,400,500,600 --val-every 1400 \
+  --ckpt-every 700 --log-root $OUT
+log G_P640 $?
+timeout 2400 python train_image.py --lmbda 0.0483 --steps 1500 --synthetic \
+  --batch-size 8 --log-root $OUT
+log G_I640 $?
+timeout 2400 python train_semantic_stack.py --lambda-rd 640 --synthetic \
+  --steps 600 --batch-size 2 --log-root $OUT
+log G_SEM640 $?
+
+# insurance artifact: first-ever RD JSON with smbpp>0, cheap (13 frames);
+# also warms the eval compile cache for the 4-pt run below
+timeout 2400 python test_video_tpu.py --synthetic --metric mse \
+  --lambdas 640 --checkpoint-root $OUT --frames 13 \
+  --output $OUT/eval_early
+log G_EVALEARLY $?
+cp $OUT/eval_early/MSE/HEVC_D/HEVC_D_MSE_640.json $RES/rd_r4_early_640.json 2>/dev/null
+
+# ---- lambda = 320 -----------------------------------------------------
+timeout 3600 python main.py --lambda-rd 320 --synthetic --batch-size 4 \
+  --steps 1400 --stage-steps 200,300,400,500,600 --val-every 1400 \
+  --ckpt-every 700 --log-root $OUT
+log G_P320 $?
+timeout 2000 python train_image.py --lmbda 0.025 --steps 1500 --synthetic \
+  --batch-size 8 --log-root $OUT
+log G_I320 $?
+timeout 1200 python train_semantic_stack.py --lambda-rd 320 --synthetic \
+  --steps 600 --batch-size 2 --log-root $OUT
+log G_SEM320 $?
+
+LAMBDAS="320 640"
+# ---- lambda = 160 / 80 (gated) ---------------------------------------
+if [ "$(left)" -gt 75 ]; then
+  timeout 3000 python main.py --lambda-rd 160 --synthetic --batch-size 4 \
+    --steps 1200 --stage-steps 200,300,400,500,600 --val-every 1200 \
+    --ckpt-every 600 --log-root $OUT
+  log G_P160 $?
+  timeout 2000 python train_image.py --lmbda 0.013 --steps 1500 --synthetic \
+    --batch-size 8 --log-root $OUT
+  log G_I160 $?
+  timeout 1200 python train_semantic_stack.py --lambda-rd 160 --synthetic \
+    --steps 600 --batch-size 2 --log-root $OUT
+  log G_SEM160 $?
+  LAMBDAS="320 640 160"
+else
+  log G_SKIP160 0
+fi
+if [ "$(left)" -gt 75 ]; then
+  timeout 3000 python main.py --lambda-rd 80 --synthetic --batch-size 4 \
+    --steps 1200 --stage-steps 200,300,400,500,600 --val-every 1200 \
+    --ckpt-every 600 --log-root $OUT
+  log G_P80 $?
+  timeout 2000 python train_image.py --lmbda 0.0067 --steps 1500 --synthetic \
+    --batch-size 8 --log-root $OUT
+  log G_I80 $?
+  timeout 1200 python train_semantic_stack.py --lambda-rd 80 --synthetic \
+    --steps 600 --batch-size 2 --log-root $OUT
+  log G_SEM80 $?
+  LAMBDAS="320 640 160 80"
+else
+  log G_SKIP80 0
+fi
+
+# ---- 4-point eval (per-lambda JSONs land incrementally, 320/640 first)
+timeout 3600 python test_video_tpu.py --synthetic --metric mse \
+  --lambdas $LAMBDAS --checkpoint-root $OUT --frames 25 \
+  --output $OUT/eval_4pt
+log G_EVAL4PT $?
+cp $OUT/eval_4pt/MSE/HEVC_D/HEVC_D_MSE.json $RES/rd_r4_4pt_agg.json 2>/dev/null
+for L in $LAMBDAS; do
+  cp $OUT/eval_4pt/MSE/HEVC_D/HEVC_D_MSE_$L.json $RES/rd_r4_4pt_$L.json 2>/dev/null
+done
+
+python scripts/bd_between.py \
+  --anchor results/rd_trained_synthetic_MSE.json \
+  --test $RES/rd_r4_4pt_agg.json \
+  --out $RES/bd_r4_vs_r3.json
+log G_BDRATE $?
+
+# ---- 96-frame held-out eval (gated) ----------------------------------
+if [ "$(left)" -gt 50 ]; then
+  timeout 2700 python test_video_tpu.py --synthetic --metric mse \
+    --lambdas 320 640 --checkpoint-root $OUT --frames 96 \
+    --synthetic-size 448x832 --synthetic-seed 1234 \
+    --output $OUT/eval_96f
+  log G_EVAL96F $?
+  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE_320.json $RES/rd_r4_96f_320.json 2>/dev/null
+  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE_640.json $RES/rd_r4_96f_640.json 2>/dev/null
+  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE.json $RES/rd_r4_96f_agg.json 2>/dev/null
+else
+  log G_SKIP96F 0
+fi
+
+# ---- step-2 semantic fine-tune, stack STAGED this time (gated) -------
+if [ "$(left)" -gt 40 ]; then
+  timeout 1500 python train_semantic.py --lambda-rd 320 --synthetic \
+    --checkpoint-root $OUT --steps 300 --batch-size 2 --log-root $OUT
+  log G_SEMFT320 $?
+  STAGE=$OUT/stage_semft320
+  mkdir -p $STAGE
+  ln -sfn $(pwd)/$OUT/semantic_ft_mse_320 $STAGE/mse_320
+  ln -sfn $(pwd)/$OUT/image_mse_320 $STAGE/image_mse_320
+  ln -sfn $(pwd)/$OUT/semantic_320 $STAGE/semantic_320
+  timeout 1500 python test_video_tpu.py --synthetic --metric mse \
+    --lambdas 320 --checkpoint-root $STAGE --frames 25 \
+    --output $OUT/eval_semft
+  log G_EVALSEMFT $?
+  cp $OUT/eval_semft/MSE/HEVC_D/HEVC_D_MSE_320.json $RES/rd_r4_semft_320.json 2>/dev/null
+else
+  log G_SKIPSEMFT 0
+fi
+
+# ---- one MS-SSIM-trained point (gated) --------------------------------
+if [ "$(left)" -gt 40 ]; then
+  timeout 2000 python main.py --lambda-rd 640 --metric msssim --synthetic \
+    --batch-size 4 --steps 800 --stage-steps 150,250,350,450,550 \
+    --val-every 800 --ckpt-every 400 --log-root $OUT
+  log G_PMSSSIM640 $?
+  timeout 1500 python test_video_tpu.py --synthetic --metric msssim \
+    --lambdas 640 --checkpoint-root $OUT --frames 25 \
+    --output $OUT/eval_msssim
+  log G_EVALMSSSIM $?
+  cp $OUT/eval_msssim/MSSSIM/HEVC_D/HEVC_D_MSSSIM_640.json $RES/rd_r4_msssim_640.json 2>/dev/null
+else
+  log G_SKIPMSSSIM 0
+fi
+
+# ---- bench with trained weights ---------------------------------------
+timeout 1500 python bench.py --ckpt-root $OUT > $RES/bench_r4.json \
+  2> $RES/bench_r4.err
+log G_BENCH $?
+
+log CAMPAIGN_R4G_DONE 0
