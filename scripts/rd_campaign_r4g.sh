@@ -143,6 +143,11 @@ if [ "$(left)" -gt 40 ]; then
     --batch-size 4 --steps 800 --stage-steps 150,250,350,450,550 \
     --val-every 800 --ckpt-every 400 --log-root $OUT
   log G_PMSSSIM640 $?
+  # eval loads image_msssim_640; --tag forces the dir name (the automatic
+  # tag only recognizes i_lambda_mse values)
+  timeout 1500 python train_image.py --lmbda 60.5 --metric msssim --tag 640 \
+    --steps 1000 --synthetic --batch-size 8 --log-root $OUT
+  log G_IMSSSIM640 $?
   timeout 1500 python test_video_tpu.py --synthetic --metric msssim \
     --lambdas 640 --checkpoint-root $OUT --frames 25 \
     --output $OUT/eval_msssim
