@@ -61,6 +61,35 @@ def synthetic_frames(n, h, w, seed=0):
     return make_clip_batch(rng, frames=n, batch=1, height=h, width=w)[:, 0]
 
 
+def _restore_artifact_snapshots(ckpt_root: str) -> None:
+    """Unpack committed checkpoint tarballs if the live dirs are gone.
+
+    Only git-tracked files survive a machine rebuild between rounds;
+    output/ is gitignored, so trained checkpoints would otherwise vanish
+    before the driver's end-of-round bench (this killed round 4's first
+    attempt).  scripts/snapshot_artifacts.sh writes artifacts/<run>.tar.gz
+    for the runs the bench loads; this restores them on demand."""
+    import tarfile
+
+    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    if not os.path.isdir(art):
+        return
+    for f in os.listdir(art):
+        if not f.endswith(".tar.gz"):
+            continue
+        run = f[: -len(".tar.gz")]
+        dst = os.path.join(ckpt_root, run)
+        if os.path.isdir(dst):
+            continue
+        os.makedirs(ckpt_root, exist_ok=True)
+        try:
+            with tarfile.open(os.path.join(art, f)) as t:
+                t.extractall(ckpt_root)
+            print(f"bench: restored {run} from artifacts/{f}", file=sys.stderr)
+        except Exception as e:  # a bad tarball must not kill the bench
+            print(f"bench: snapshot restore {f} failed: {e}", file=sys.stderr)
+
+
 def stage_flops(jitted, *args) -> float:
     """Compiled-cost FLOPs of a jitted stage (0.0 if unavailable)."""
     try:
@@ -97,6 +126,8 @@ def main_tpu(args):
     # bf16 model casts at compute time (layers.Conv), so the same
     # checkpoint serves training and the bf16 bench.
     ckpt_note = "random init"
+    if not TINY:
+        _restore_artifact_snapshots(args.ckpt_root)
     if not TINY and os.path.isdir(os.path.join(args.ckpt_root, "mse_640")):
         try:
             from deepsvc_tpu.train import TrainState, make_optimizer
