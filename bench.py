@@ -61,7 +61,7 @@ def synthetic_frames(n, h, w, seed=0):
     return make_clip_batch(rng, frames=n, batch=1, height=h, width=w)[:, 0]
 
 
-def _restore_artifact_snapshots(ckpt_root: str) -> None:
+def _restore_artifact_snapshots(ckpt_root: str, art_dir: str | None = None) -> None:
     """Unpack committed checkpoint tarballs if the live dirs are gone.
 
     Only git-tracked files survive a machine rebuild between rounds;
@@ -71,7 +71,8 @@ def _restore_artifact_snapshots(ckpt_root: str) -> None:
     for the runs the bench loads; this restores them on demand."""
     import tarfile
 
-    art = os.path.join(os.path.dirname(os.path.abspath(__file__)), "artifacts")
+    art = art_dir or os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "artifacts")
     if not os.path.isdir(art):
         return
     for f in os.listdir(art):
