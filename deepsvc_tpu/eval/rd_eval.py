@@ -213,13 +213,18 @@ def aggregate(metrics: list[FrameMetrics]) -> dict:
     }
 
 
-def write_results(path: str, name: str, per_seq: dict[str, dict]):
+def write_results(path: str, name: str, per_seq: dict[str, dict],
+                  conditions: dict | None = None):
     """Per-dataset JSON mirroring the reference layout
-    (test_video.py:453-460)."""
+    (test_video.py:453-460).  ``conditions`` states what was actually
+    measured (data source, resolution, frames, seed) so a synthetic smoke
+    eval can never masquerade as a reference-protocol artifact."""
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
     keys = next(iter(per_seq.values())).keys() if per_seq else []
     results = {k: [per_seq[s][k] for s in per_seq] for k in keys}
     output = {"name": name, "description": "Inference (rans)", "results": results}
+    if conditions:
+        output["conditions"] = conditions
     with open(path, "w", encoding="utf-8") as f:
         json.dump(output, f, indent=2)
     return output
@@ -235,6 +240,9 @@ def write_aggregate(path: str, name: str, per_lambda: list[dict]):
         k: [float(np.mean(out["results"][k])) for out in per_lambda] for k in keys
     }
     output = {"name": name, "description": "Inference (rans)", "results": results}
+    conds = [out.get("conditions") for out in per_lambda]
+    if conds and conds[0]:
+        output["conditions"] = conds[0]
     with open(path, "w", encoding="utf-8") as f:
         json.dump(output, f, indent=2)
     return output

@@ -237,10 +237,27 @@ def main():
                 per_seq[seq] = aggregate(metrics)
                 print(seq, json.dumps(per_seq[seq])[:200])
 
+        # state what was actually measured: a synthetic smoke eval must
+        # never read like a reference-protocol artifact (r3 weak #8)
+        conditions = {
+            "data": ("synthetic moving-texture" if args.synthetic
+                     else "smoke" if args.smoke else args.dataset),
+            "frames": int(args.frames),
+            "gop": int(cfg.eval.gop),
+            "lambda": int(lam),
+            "semantic_layer": not args.no_semantic,
+            "profile": "fast" if args.fast else "reference-shaped",
+        }
+        if args.synthetic:
+            conditions["resolution"] = args.synthetic_size
+            conditions["seed"] = int(args.synthetic_seed)
+            # seed != trainers' 16 => unseen sequences, same distribution
+            conditions["seed_differs_from_train"] = args.synthetic_seed != 16
         out = write_results(
             os.path.join(out_dir, f"{args.dataset}_{args.metric.upper()}_{lam}.json"),
             f"{args.dataset}_{args.metric.upper()}_{lam}",
             per_seq,
+            conditions=conditions,
         )
         print(json.dumps(out)[:400])
         per_lambda_outputs.append(out)
