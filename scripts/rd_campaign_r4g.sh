@@ -162,4 +162,18 @@ timeout 1500 python bench.py --ckpt-root $OUT > $RES/bench_r4.json \
   2> $RES/bench_r4.err
 log G_BENCH $?
 
+# b2 aggregate: the serving-scale lever (r3 weak #4 — pipelined b2 OOMed;
+# the light GOP-decode change is supposed to unblock it)
+if [ "$(left)" -gt 5 ]; then
+  timeout 1200 python bench.py --ckpt-root $OUT --batch 2 \
+    > $RES/bench_r4_b2.json 2> $RES/bench_r4_b2.err
+  log G_BENCH_B2 $?
+else
+  log G_SKIPBENCHB2 0
+fi
+
+# checkpoints the driver bench needs must survive a machine rebuild
+bash scripts/snapshot_artifacts.sh mse_640 image_mse_640 semantic_640
+log G_SNAPSHOT $?
+
 log CAMPAIGN_R4G_DONE 0
