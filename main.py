@@ -182,7 +182,19 @@ def main():
         h.flush()
     prev_band = None
     sms = None
+    # `timeout N python main.py ...` sends SIGTERM at the bound; without
+    # a handler that kill drops everything since the last ckpt_every save
+    # (r4: the 1400-step lambda-640 run died at step ~1235 leaving only
+    # the step-700 checkpoint).  Finish the in-flight step, save, exit.
+    import signal
+
+    _stop = {"now": False}
+    signal.signal(signal.SIGTERM, lambda *_: _stop.__setitem__("now", True))
+
     for batch in batches():
+        if _stop["now"]:
+            logger.info("SIGTERM: saving checkpoint before exit")
+            break
         frames = jnp.asarray(batch)
         if sms is None or sms.shape[:2] != frames.shape[:2]:
             # constant zeros (no semantic layer in step 1); allocate once —
