@@ -107,7 +107,17 @@ def main():
                 for clip in clips.batches(args.batch_size):
                     yield clip[0]
 
+    # timeout(1)'s SIGTERM must not drop everything since the last
+    # ckpt_every save (see main.py; r4 lost a 1235-step run this way)
+    import signal
+
+    _stop = {"now": False}
+    signal.signal(signal.SIGTERM, lambda *_: _stop.__setitem__("now", True))
+
     for batch in batches():
+        if _stop["now"]:
+            logger.info("SIGTERM: saving checkpoint before exit")
+            break
         t0 = time.perf_counter()
         metrics = trainer.train_batch(jnp.asarray(batch))
         step = int(trainer.state.step)

@@ -224,7 +224,17 @@ def main():
     for h in logger.handlers:
         h.flush()
     n_done = 0
+    # timeout(1)'s SIGTERM must not drop progress since the last
+    # ckpt_every save (see main.py)
+    import signal
+
+    _stop = {"now": False}
+    signal.signal(signal.SIGTERM, lambda *_: _stop.__setitem__("now", True))
+
     for batch in batches():
+        if _stop["now"]:
+            logger.info("SIGTERM: saving checkpoint before exit")
+            break
         frames = jnp.asarray(batch)
         t0 = time.perf_counter()
         metrics = retry_transient(

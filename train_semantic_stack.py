@@ -195,7 +195,18 @@ def main():
         # train_semantic.py restore
         ckpt.save(step, {"teacher": t_vars, "student": state.params})
 
+    # timeout(1)'s SIGTERM must not drop progress since the last
+    # ckpt_every save (see main.py)
+    import signal
+
+    _stop = {"now": False}
+    signal.signal(signal.SIGTERM, lambda *_: _stop.__setitem__("now", True))
+
     for n in range(1, args.steps + 1):
+        if _stop["now"]:
+            logger.info("SIGTERM: saving checkpoint before exit")
+            _save(n - 1)
+            break
         frames = jnp.asarray(
             make_clip_batch(rng, frames=f, batch=B, height=H, width=H)
         )
