@@ -54,6 +54,17 @@ def get_args():
                         "--log-root: the checkpoint is not interchangeable "
                         "with the reference-shaped profile")
     p.add_argument("--resume", action="store_true")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="run dir whose checkpoints/ seeds this run's state "
+                        "(fine-tune entry; step continues from the restored "
+                        "value, so band selection follows --stage-steps)")
+    p.add_argument("--run-name", type=str, default=None,
+                   help="override the '<metric>_<lambda>' run-dir name so a "
+                        "fine-tune does not clobber its parent run")
+    p.add_argument("--mc-weight-final", type=float, default=None,
+                   help="override cascade-band mc_loss weight (reference v2 "
+                        "uses 0.01, Learner.py:1123; compressed schedules "
+                        "need a larger pull for MC to beat plain warping)")
     return p.parse_args()
 
 
@@ -79,7 +90,10 @@ def main():
         bounds = tuple(int(v) for v in args.stage_steps.split(","))
         assert len(bounds) == 5, "--stage-steps needs 5 comma-separated ints"
         cfg = cfg.replace(stage_steps=bounds)
-    run_dir = os.path.join(args.log_root, f"{args.metric}_{args.lambda_rd}")
+    if args.mc_weight_final is not None:
+        cfg = cfg.replace(mc_weight_final=args.mc_weight_final)
+    run_name = args.run_name or f"{args.metric}_{args.lambda_rd}"
+    run_dir = os.path.join(args.log_root, run_name)
     os.makedirs(run_dir, exist_ok=True)
     logger = setup_logger("train", run_dir, tofile=True)
     with open(os.path.join(run_dir, "setting.json"), "w") as f:
@@ -104,6 +118,13 @@ def main():
         if restored is not None:
             trainer.state = restored
             logger.info(f"resumed from step {step}")
+    elif args.init_from:
+        src = CheckpointManager(os.path.join(args.init_from, "checkpoints"))
+        restored, step = src.restore(trainer.state)
+        if restored is None:
+            raise SystemExit(f"--init-from {args.init_from}: no checkpoint found")
+        trainer.state = restored
+        logger.info(f"initialized from {args.init_from} step {step}")
 
     meter = AverageMeter()
     writer = MetricsWriter(os.path.join(run_dir, "summary"))
