@@ -26,26 +26,8 @@ git restore artifacts/ 2>/dev/null || git checkout -- artifacts/ 2>/dev/null || 
 # commit whatever r4j produced but never committed
 commit_res "r4j campaign results: 2-pt sweep, BD-rate, trained-weights bench"
 
-# ---- 1. step-2 semantic fine-tune (if r4j skipped) -------------------------
-if [ ! -f $RES/rd_r4_semft_320.json ] && [ "$(left)" -gt 120 ]; then
-  timeout 1200 python train_semantic.py --lambda-rd 320 --synthetic \
-    --checkpoint-root $OUT --steps 300 --batch-size 2 --log-root $OUT
-  log L_SEMFT320 $?
-  STAGE=$OUT/stage_semft320
-  mkdir -p $STAGE
-  ln -sfn $(pwd)/$OUT/semantic_ft_mse_320 $STAGE/mse_320
-  ln -sfn $(pwd)/$OUT/image_mse_320 $STAGE/image_mse_320
-  ln -sfn $(pwd)/$OUT/semantic_320 $STAGE/semantic_320
-  timeout 1200 python test_video_tpu.py --synthetic --metric mse \
-    --lambdas 320 --checkpoint-root $STAGE --frames 25 \
-    --output $OUT/eval_semft
-  log L_EVALSEMFT $?
-  cp $OUT/eval_semft/MSE/HEVC_D/HEVC_D_MSE_320.json $RES/rd_r4_semft_320.json 2>/dev/null
-  commit_res "Step-2 semantic fine-tune evaluated WITH the semantic stack staged"
-fi
-
-# ---- 2. MC fine-tune at lambda=640 ------------------------------------------
-if [ ! -f $RES/rd_r4_mcft_640.json ] && [ "$(left)" -gt 95 ]; then
+# ---- 1. MC fine-tune at lambda=640 ------------------------------------------
+if [ ! -f $RES/rd_r4_mcft_640.json ] && [ "$(left)" -gt 55 ]; then
   timeout 1500 python main.py --lambda-rd 640 --synthetic --batch-size 4 \
     --steps 1000 --stage-steps 200,300,400,500,600 --val-every 2000 \
     --ckpt-every 300 --log-root $OUT \
@@ -62,6 +44,24 @@ if [ ! -f $RES/rd_r4_mcft_640.json ] && [ "$(left)" -gt 95 ]; then
   log L_EVALMCFT $?
   cp $OUT/eval_mcft/MSE/HEVC_D/HEVC_D_MSE_640.json $RES/rd_r4_mcft_640.json 2>/dev/null
   commit_res "MC fine-tune (mc_weight 0.2, 300 steps): motion compensation vs warp PSNR re-measured"
+fi
+
+# ---- 2. step-2 semantic fine-tune (if r4j skipped) -------------------------
+if [ ! -f $RES/rd_r4_semft_320.json ] && [ "$(left)" -gt 70 ]; then
+  timeout 1200 python train_semantic.py --lambda-rd 320 --synthetic \
+    --checkpoint-root $OUT --steps 300 --batch-size 2 --log-root $OUT
+  log L_SEMFT320 $?
+  STAGE=$OUT/stage_semft320
+  mkdir -p $STAGE
+  ln -sfn $(pwd)/$OUT/semantic_ft_mse_320 $STAGE/mse_320
+  ln -sfn $(pwd)/$OUT/image_mse_320 $STAGE/image_mse_320
+  ln -sfn $(pwd)/$OUT/semantic_320 $STAGE/semantic_320
+  timeout 1200 python test_video_tpu.py --synthetic --metric mse \
+    --lambdas 320 --checkpoint-root $STAGE --frames 25 \
+    --output $OUT/eval_semft
+  log L_EVALSEMFT $?
+  cp $OUT/eval_semft/MSE/HEVC_D/HEVC_D_MSE_320.json $RES/rd_r4_semft_320.json 2>/dev/null
+  commit_res "Step-2 semantic fine-tune evaluated WITH the semantic stack staged"
 fi
 
 # ---- 3. one MS-SSIM-trained point (if r4j skipped) ---------------------------
