@@ -2,11 +2,18 @@
 # Round-4 follow-up: runs AFTER rd_campaign_r4j.sh finishes (its 23:45
 # deadline makes it skip the gated extras).  Idempotent: each job is
 # skipped if its results artifact already exists, so it only fills the
-# gaps r4j left.  New here vs r4j: the MC fine-tune leg — a short
-# cascade-band fine-tune of the lambda-640 P-codec with a heavier
-# mc_loss weight (reference v2's 0.01 never pulls MC above plain
-# warping on compressed schedules; eval showed mcpsnr 14.7 < warppsnr
-# 23.5) — then a re-eval that must show mcpsnr > warppsnr.
+# gaps r4j left.
+#
+# Leg 1 is the full reference pipeline at lambda=640, chained:
+#   (a) MC fine-tune: short cascade-band run with mc_loss weight 0.2
+#       (reference v2's 0.01 never pulls MC above plain warping on
+#       compressed schedules; rd_r4_early_640 showed mcpsnr 14.7 <
+#       warppsnr 23.5)
+#   (b) step-2 semantic fine-tune from the MC-ft weights (Learner.py:661-698
+#       semantics): the step-1 P-codec was trained with ZEROED semantic
+#       features, so evaluating it with real ones is a distribution
+#       mismatch (rd_r4_early_640 psnr 21.6 vs the no-semantic 24.4)
+#   (c) eval with the full stack staged -> the round's flagship artifact.
 # Usage: rd_campaign_r4l.sh [DEADLINE_EPOCH]
 set -x
 cd /root/repo
@@ -26,8 +33,8 @@ git restore artifacts/ 2>/dev/null || git checkout -- artifacts/ 2>/dev/null || 
 # commit whatever r4j produced but never committed
 commit_res "r4j campaign results: 2-pt sweep, BD-rate, trained-weights bench"
 
-# ---- 1. MC fine-tune at lambda=640 ------------------------------------------
-if [ ! -f $RES/rd_r4_mcft_640.json ] && [ "$(left)" -gt 55 ]; then
+# ---- 1a. MC fine-tune at lambda=640 -----------------------------------------
+if [ ! -f $RES/rd_r4_640_final.json ] && [ "$(left)" -gt 50 ]; then
   timeout 1500 python main.py --lambda-rd 640 --synthetic --batch-size 4 \
     --steps 1000 --stage-steps 200,300,400,500,600 --val-every 2000 \
     --ckpt-every 300 --log-root $OUT \
@@ -38,15 +45,37 @@ if [ ! -f $RES/rd_r4_mcft_640.json ] && [ "$(left)" -gt 55 ]; then
   ln -sfn $(pwd)/$OUT/mse_640_mcft $STAGE/mse_640
   ln -sfn $(pwd)/$OUT/image_mse_640 $STAGE/image_mse_640
   ln -sfn $(pwd)/$OUT/semantic_640 $STAGE/semantic_640
-  timeout 1200 python test_video_tpu.py --synthetic --metric mse \
-    --lambdas 640 --checkpoint-root $STAGE --frames 25 \
+
+  # quick intermediate eval (13 frames): MC-vs-warp check in isolation
+  timeout 1000 python test_video_tpu.py --synthetic --metric mse \
+    --lambdas 640 --checkpoint-root $STAGE --frames 13 \
     --output $OUT/eval_mcft
   log L_EVALMCFT $?
   cp $OUT/eval_mcft/MSE/HEVC_D/HEVC_D_MSE_640.json $RES/rd_r4_mcft_640.json 2>/dev/null
   commit_res "MC fine-tune (mc_weight 0.2, 300 steps): motion compensation vs warp PSNR re-measured"
 fi
 
-# ---- 2. step-2 semantic fine-tune (if r4j skipped) -------------------------
+# ---- 1b. step-2 semantic fine-tune at 640 from the MC-ft weights --------------
+if [ ! -f $RES/rd_r4_640_final.json ] && [ "$(left)" -gt 40 ] \
+   && [ -d $OUT/mse_640_mcft/checkpoints ]; then
+  timeout 1500 python train_semantic.py --lambda-rd 640 --synthetic \
+    --checkpoint-root $OUT/stage_mcft640 --steps 300 --batch-size 2 \
+    --log-root $OUT
+  log L_SEMFT640 $?
+  STAGE=$OUT/stage_final640
+  mkdir -p $STAGE
+  ln -sfn $(pwd)/$OUT/semantic_ft_mse_640 $STAGE/mse_640
+  ln -sfn $(pwd)/$OUT/image_mse_640 $STAGE/image_mse_640
+  ln -sfn $(pwd)/$OUT/semantic_640 $STAGE/semantic_640
+  timeout 1200 python test_video_tpu.py --synthetic --metric mse \
+    --lambdas 640 --checkpoint-root $STAGE --frames 25 \
+    --output $OUT/eval_final640
+  log L_EVALFINAL640 $?
+  cp $OUT/eval_final640/MSE/HEVC_D/HEVC_D_MSE_640.json $RES/rd_r4_640_final.json 2>/dev/null
+  commit_res "Flagship lambda=640 artifact: MC-ft + step-2 semantic fine-tune, full stack staged"
+fi
+
+# ---- 2. step-2 semantic fine-tune at 320 (if r4j skipped) --------------------
 if [ ! -f $RES/rd_r4_semft_320.json ] && [ "$(left)" -gt 70 ]; then
   timeout 1200 python train_semantic.py --lambda-rd 320 --synthetic \
     --checkpoint-root $OUT --steps 300 --batch-size 2 --log-root $OUT
@@ -61,7 +90,7 @@ if [ ! -f $RES/rd_r4_semft_320.json ] && [ "$(left)" -gt 70 ]; then
     --output $OUT/eval_semft
   log L_EVALSEMFT $?
   cp $OUT/eval_semft/MSE/HEVC_D/HEVC_D_MSE_320.json $RES/rd_r4_semft_320.json 2>/dev/null
-  commit_res "Step-2 semantic fine-tune evaluated WITH the semantic stack staged"
+  commit_res "Step-2 semantic fine-tune at 320 evaluated WITH the semantic stack staged"
 fi
 
 # ---- 3. one MS-SSIM-trained point (if r4j skipped) ---------------------------
@@ -107,8 +136,8 @@ fi
 # I-codecs/semantic stacks rebuild in <10 min and bench only needs the 640
 # trio, which is already committed.
 git restore artifacts/ 2>/dev/null || true
-bash scripts/snapshot_artifacts.sh mse_320 mse_640_mcft
-git add artifacts/ && git commit -q -m "Snapshot the lambda=320 and MC fine-tune P-codec checkpoints" || true
+bash scripts/snapshot_artifacts.sh mse_320 semantic_ft_mse_640
+git add artifacts/ && git commit -q -m "Snapshot the lambda=320 and final fine-tuned 640 P-codec checkpoints" || true
 log L_SNAPSHOT $?
 
 log CAMPAIGN_R4L_DONE 0
