@@ -93,6 +93,25 @@ if [ ! -f $RES/rd_r4_semft_320.json ] && [ "$(left)" -gt 70 ]; then
   commit_res "Step-2 semantic fine-tune at 320 evaluated WITH the semantic stack staged"
 fi
 
+# ---- 2b. no-semantic 2-pt eval: the apples-to-apples BD-rate vs r3 ------------
+# r4j's J_BDRATE compares a semantic-staged curve (more bits + step-1
+# weights seeing real features they were never trained on) against r3's
+# no-semantic curve; this leg evals the same 2 points with --no-semantic
+# so the BD-rate isolates what training depth bought on an equal footing.
+if [ ! -f $RES/bd_r4_vs_r3_nosem.json ] && [ "$(left)" -gt 60 ]; then
+  timeout 1800 python test_video_tpu.py --synthetic --metric mse \
+    --lambdas 320 640 --checkpoint-root $OUT --frames 25 --no-semantic \
+    --output $OUT/eval_nosem
+  log L_EVALNOSEM $?
+  cp $OUT/eval_nosem/MSE/HEVC_D/HEVC_D_MSE.json $RES/rd_r4_nosem_agg.json 2>/dev/null
+  python scripts/bd_between.py \
+    --anchor results/rd_trained_synthetic_MSE.json \
+    --test $RES/rd_r4_nosem_agg.json \
+    --out $RES/bd_r4_vs_r3_nosem.json
+  log L_BDNOSEM $?
+  commit_res "No-semantic 2-pt eval: apples-to-apples BD-rate vs the r3 curve"
+fi
+
 # ---- 3. one MS-SSIM-trained point (if r4j skipped) ---------------------------
 if [ ! -f $RES/rd_r4_msssim_640.json ] && [ "$(left)" -gt 70 ]; then
   timeout 1800 python main.py --lambda-rd 640 --metric msssim --synthetic \
