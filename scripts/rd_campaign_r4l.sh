@@ -75,8 +75,48 @@ if [ ! -f $RES/rd_r4_640_final.json ] && [ "$(left)" -gt 40 ] \
   commit_res "Flagship lambda=640 artifact: MC-ft + step-2 semantic fine-tune, full stack staged"
 fi
 
-# ---- 2. step-2 semantic fine-tune at 320 (if r4j skipped) --------------------
-if [ ! -f $RES/rd_r4_semft_320.json ] && [ "$(left)" -gt 70 ]; then
+# ---- 2. no-semantic 2-pt eval: the apples-to-apples BD-rate vs r3 ------------
+# r4j's J_BDRATE compares a semantic-staged curve (more bits + step-1
+# weights seeing real features they were never trained on) against r3's
+# no-semantic curve; this leg evals the same 2 points with --no-semantic
+# so the BD-rate isolates what training depth bought on an equal footing.
+if [ ! -f $RES/bd_r4_vs_r3_nosem.json ] && [ "$(left)" -gt 55 ]; then
+  timeout 1800 python test_video_tpu.py --synthetic --metric mse \
+    --lambdas 320 640 --checkpoint-root $OUT --frames 25 --no-semantic \
+    --output $OUT/eval_nosem
+  log L_EVALNOSEM $?
+  cp $OUT/eval_nosem/MSE/HEVC_D/HEVC_D_MSE.json $RES/rd_r4_nosem_agg.json 2>/dev/null
+  python scripts/bd_between.py \
+    --anchor results/rd_trained_synthetic_MSE.json \
+    --test $RES/rd_r4_nosem_agg.json \
+    --out $RES/bd_r4_vs_r3_nosem.json
+  log L_BDNOSEM $?
+  commit_res "No-semantic 2-pt eval: apples-to-apples BD-rate vs the r3 curve"
+fi
+
+# ---- 3. b2 aggregate bench (if r4j skipped) -----------------------------------
+if [ ! -f $RES/bench_r4_b2.json ] && [ "$(left)" -gt 35 ]; then
+  timeout 1000 python bench.py --ckpt-root $OUT --batch 2 \
+    > $RES/bench_r4_b2.json 2> $RES/bench_r4_b2.err
+  log L_BENCH_B2 $?
+  commit_res "batch_streams=2 aggregate bench after the decode working-set cuts"
+fi
+
+# ---- 4. 96-frame held-out eval at 448x832 --------------------------------------
+if [ ! -f $RES/rd_r4_96f_agg.json ] && [ "$(left)" -gt 30 ]; then
+  timeout 1500 python test_video_tpu.py --synthetic --metric mse \
+    --lambdas 320 640 --checkpoint-root $OUT --frames 96 \
+    --synthetic-size 448x832 --synthetic-seed 1234 \
+    --output $OUT/eval_96f
+  log L_EVAL96F $?
+  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE_320.json $RES/rd_r4_96f_320.json 2>/dev/null
+  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE_640.json $RES/rd_r4_96f_640.json 2>/dev/null
+  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE.json $RES/rd_r4_96f_agg.json 2>/dev/null
+  commit_res "96-frame held-out 448x832 eval, GOP-12 I-refresh exercised 8x"
+fi
+
+# ---- 6. step-2 (lowest priority: the 640 chain already proves step-2) semantic fine-tune at 320 (if r4j skipped) --------------------
+if [ ! -f $RES/rd_r4_semft_320.json ] && [ "$(left)" -gt 45 ]; then
   timeout 1200 python train_semantic.py --lambda-rd 320 --synthetic \
     --checkpoint-root $OUT --steps 300 --batch-size 2 --log-root $OUT
   log L_SEMFT320 $?
@@ -93,26 +133,7 @@ if [ ! -f $RES/rd_r4_semft_320.json ] && [ "$(left)" -gt 70 ]; then
   commit_res "Step-2 semantic fine-tune at 320 evaluated WITH the semantic stack staged"
 fi
 
-# ---- 2b. no-semantic 2-pt eval: the apples-to-apples BD-rate vs r3 ------------
-# r4j's J_BDRATE compares a semantic-staged curve (more bits + step-1
-# weights seeing real features they were never trained on) against r3's
-# no-semantic curve; this leg evals the same 2 points with --no-semantic
-# so the BD-rate isolates what training depth bought on an equal footing.
-if [ ! -f $RES/bd_r4_vs_r3_nosem.json ] && [ "$(left)" -gt 60 ]; then
-  timeout 1800 python test_video_tpu.py --synthetic --metric mse \
-    --lambdas 320 640 --checkpoint-root $OUT --frames 25 --no-semantic \
-    --output $OUT/eval_nosem
-  log L_EVALNOSEM $?
-  cp $OUT/eval_nosem/MSE/HEVC_D/HEVC_D_MSE.json $RES/rd_r4_nosem_agg.json 2>/dev/null
-  python scripts/bd_between.py \
-    --anchor results/rd_trained_synthetic_MSE.json \
-    --test $RES/rd_r4_nosem_agg.json \
-    --out $RES/bd_r4_vs_r3_nosem.json
-  log L_BDNOSEM $?
-  commit_res "No-semantic 2-pt eval: apples-to-apples BD-rate vs the r3 curve"
-fi
-
-# ---- 3. one MS-SSIM-trained point (if r4j skipped) ---------------------------
+# ---- 7. one MS-SSIM-trained point (if r4j skipped) ---------------------------
 if [ ! -f $RES/rd_r4_msssim_640.json ] && [ "$(left)" -gt 70 ]; then
   timeout 1800 python main.py --lambda-rd 640 --metric msssim --synthetic \
     --batch-size 4 --steps 500 --stage-steps 120,200,280,360,440 \
@@ -127,27 +148,6 @@ if [ ! -f $RES/rd_r4_msssim_640.json ] && [ "$(left)" -gt 70 ]; then
   log L_EVALMSSSIM $?
   cp $OUT/eval_msssim/MSSSIM/HEVC_D/HEVC_D_MSSSIM_640.json $RES/rd_r4_msssim_640.json 2>/dev/null
   commit_res "First MS-SSIM-trained rate point (lambda=640) through forward_msssim"
-fi
-
-# ---- 4. b2 aggregate bench (if r4j skipped) -----------------------------------
-if [ ! -f $RES/bench_r4_b2.json ] && [ "$(left)" -gt 40 ]; then
-  timeout 1000 python bench.py --ckpt-root $OUT --batch 2 \
-    > $RES/bench_r4_b2.json 2> $RES/bench_r4_b2.err
-  log L_BENCH_B2 $?
-  commit_res "batch_streams=2 aggregate bench after the decode working-set cuts"
-fi
-
-# ---- 5. 96-frame held-out eval at 448x832 --------------------------------------
-if [ ! -f $RES/rd_r4_96f_agg.json ] && [ "$(left)" -gt 45 ]; then
-  timeout 1800 python test_video_tpu.py --synthetic --metric mse \
-    --lambdas 320 640 --checkpoint-root $OUT --frames 96 \
-    --synthetic-size 448x832 --synthetic-seed 1234 \
-    --output $OUT/eval_96f
-  log L_EVAL96F $?
-  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE_320.json $RES/rd_r4_96f_320.json 2>/dev/null
-  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE_640.json $RES/rd_r4_96f_640.json 2>/dev/null
-  cp $OUT/eval_96f/MSE/HEVC_D/HEVC_D_MSE.json $RES/rd_r4_96f_agg.json 2>/dev/null
-  commit_res "96-frame held-out 448x832 eval, GOP-12 I-refresh exercised 8x"
 fi
 
 # ---- 6. snapshot new checkpoints -------------------------------------------------
