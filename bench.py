@@ -424,6 +424,13 @@ def main_tpu(args):
         # serial number as the stream number and flag it loudly
         print(f"every pipelined schedule failed: {attempts}", file=sys.stderr)
         fps_pipe, errs, pipelined_mode = fps_serial, [], "serial_fallback"
+    elif fps_serial > fps_pipe:
+        # the serial protocol is the same complete encode+decode path;
+        # when a pipelined schedule loses to it (relay weather, pump
+        # overhead on a slow box) the headline is the best REAL number,
+        # not the first schedule that happened to finish
+        attempts["serial"] = round(fps_serial, 4)
+        fps_pipe, errs, pipelined_mode = fps_serial, errs, "serial_best"
     import gc
 
     gc.collect()  # drop the winning schedule's window before the next legs
