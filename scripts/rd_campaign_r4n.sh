@@ -22,8 +22,11 @@ commit_res() { git add results/ && git commit -q -m "$1" || true; }
 
 # ---- A. MC fine-tune at lambda=640 -------------------------------------------
 if [ "$(left)" -gt 30 ]; then
+  # --init-from restores the step counter (the 640 ckpt is at step 700),
+  # so the target must be ABSOLUTE: 1400 = 700 restored + 700 new steps.
+  # r4m's "--steps 700" trained ~1 step and evaluated un-fine-tuned weights.
   timeout 1100 python main.py --lambda-rd 640 --synthetic --batch-size 4 \
-    --steps 700 --stage-steps 100,200,300,400,500 --val-every 2000 \
+    --steps 1400 --stage-steps 100,200,300,400,500 --val-every 2000 \
     --ckpt-every 200 --log-root $OUT \
     --init-from $OUT/mse_640 --run-name mse_640_mcft --mc-weight-final 0.2
   log A_MCFT640 $?
