@@ -16,6 +16,14 @@ import argparse
 import json
 import os
 
+import jax
+
+# XLA compile of the full-size encoder/decoder executables costs ~10 min
+# on this box's CPU; the persistent cache makes every rerun (and the
+# trainer-shared programs) near-free.  Same location as main.py:22.
+jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 
 def get_args():
     p = argparse.ArgumentParser(description="deepsvc_tpu RD evaluation")
