@@ -491,7 +491,8 @@ class ConditionalCodec(ChannelARBase):
     bench).  The TPU-native default is 4 wider slices / 1 support slice
     = 2 host rounds: slice 0 conditions everything, the 3 tail slices
     decode in one batched round (r4 perf redesign, VERDICT r3 item 3;
-    RD validated against the r4 rate sweep)."""
+    RD cost vs the reference slice shape measured in
+    results/slice_ab.json — see tests/test_slice_ab note)."""
 
     in_ch: int = 8
     N: int = 64
