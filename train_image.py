@@ -44,6 +44,13 @@ def get_args():
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from this run dir's own checkpoints")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="run dir whose checkpoints/ seeds this run's state "
+                        "(rate-transfer fine-tune: new lambda or metric from "
+                        "a trained point; the step counter carries over, so "
+                        "--steps is ABSOLUTE — see main.py --init-from)")
     return p.parse_args()
 
 
@@ -82,6 +89,18 @@ def main():
     trainer = ImageCodecTrainer(cfg, model=model,
                                 init_shape=(args.crop, args.crop))
     ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    if args.resume:
+        restored, step0 = ckpt.restore(trainer.state)
+        if restored is not None:
+            trainer.state = restored
+            logger.info(f"resumed from step {step0}")
+    elif args.init_from:
+        src = CheckpointManager(os.path.join(args.init_from, "checkpoints"))
+        restored, step0 = src.restore(trainer.state)
+        if restored is None:
+            raise SystemExit(f"--init-from {args.init_from}: no checkpoint found")
+        trainer.state = restored
+        logger.info(f"initialized from {args.init_from} step {step0}")
     writer = MetricsWriter(os.path.join(run_dir, "summary"))
     meter = AverageMeter()
     rng = np.random.default_rng(args.seed)
