@@ -65,7 +65,88 @@ def get_args():
                    help="override cascade-band mc_loss weight (reference v2 "
                         "uses 0.01, Learner.py:1123; compressed schedules "
                         "need a larger pull for MC to beat plain warping)")
+    p.add_argument("--semantic-root", type=str, default=None,
+                   help="checkpoint root holding semantic_<lambda>/ (the "
+                        "train_semantic_stack.py layout).  When set, P-frame "
+                        "training conditions on REAL frozen-student decoded "
+                        "features instead of zeros — the configuration the "
+                        "eval path feeds (eval/rd_eval.py:117-134).  Training "
+                        "with zeros leaves the MC fusion out of distribution "
+                        "at eval time (r4: mcpsnr 14.7 vs warppsnr 23.5)")
     return p.parse_args()
+
+
+def build_semantic_provider(args, logger):
+    """Frozen semantic stack -> jitted clip->features fn for P training.
+
+    Mirrors the eval protocol (eval/rd_eval.py:117-134; reference
+    video_model.py:30-45 consumes the semantic layer's decoded feature):
+    teacher stage-1 features of frame 0 seed a 2-entry support FIFO, then
+    the frozen student's deterministic decode (training=False: rounded
+    quantization, the closest in-graph proxy for the real-bitstream path)
+    yields each P-frame's feature; the FIFO rolls with decoded features.
+    Returns fn: (f, B, H, W, 3) [0,1] frames -> (f, B, H/4, W/4, 256)
+    (slot 0 is zeros — frame 0 is the I-frame, never coded by the P path).
+    """
+    import flax.linen as nn
+
+    from deepsvc_tpu.core.config import DeepSVCConfig
+    from deepsvc_tpu.core.factory import (
+        build_student,
+        build_teacher,
+        select_support,
+    )
+    from deepsvc_tpu.core.image import Normalizer
+    from deepsvc_tpu.utils.checkpoint import CheckpointManager
+
+    tree = DeepSVCConfig()
+    teacher = build_teacher(tree, depth=50)
+    student = build_student(tree, depth=50)
+    x0 = jnp.zeros((1, 64, 64, 3))
+    supp0 = jnp.zeros((2, 1, 16, 16, 256))
+    t_vars = jax.jit(teacher.init)(jax.random.PRNGKey(0), x0)
+    s_vars = jax.jit(
+        lambda r: student.init({"params": r}, x0, supp0,
+                               rng=jax.random.PRNGKey(1))
+    )(jax.random.PRNGKey(0))
+    sem_dir = os.path.join(args.semantic_root,
+                           f"semantic_{args.lambda_rd}", "checkpoints")
+    if not os.path.isdir(sem_dir):
+        sem_dir = os.path.join(args.semantic_root, f"semantic_{args.lambda_rd}")
+    mgr = CheckpointManager(sem_dir)
+    restored, sem_step = mgr.restore({"teacher": t_vars, "student": s_vars})
+    if restored is None:
+        raise SystemExit(
+            f"--semantic-root {args.semantic_root}: no semantic_"
+            f"{args.lambda_rd} checkpoint (train_semantic_stack.py writes it)"
+        )
+    t_vars, s_vars = restored["teacher"], restored["student"]
+    logger.info(f"semantic stack loaded from {sem_dir} (step {sem_step})")
+    norm = Normalizer()
+    multi = tree.semantic.multi_supp
+
+    def _fea(m, x, supp_sel):
+        # codec decode conditioned on the latest support + SELSA-style
+        # aggregation — exactly what SemanticRuntime.encode_decode +
+        # post_decode produce, minus the rANS round trip
+        out = m.layer1(x, supp_sel[-1], training=False)
+        return nn.relu(m.refine(out["x_hat"], supp_sel))
+
+    def sm_for_clip(frames):
+        f = frames.shape[0]
+        smi = teacher.apply(t_vars, norm(frames[0] * 255.0))[0]
+        supp = jnp.stack([smi, smi])
+        sms = [jnp.zeros_like(smi)]
+        for t in range(1, f):
+            fea = student.apply(
+                s_vars, norm(frames[t] * 255.0),
+                select_support(supp, multi), method=_fea,
+            )
+            sms.append(fea)
+            supp = jnp.concatenate([supp[1:], fea[None]], axis=0)
+        return jnp.stack(sms)
+
+    return jax.jit(sm_for_clip)
 
 
 def main():
@@ -203,6 +284,12 @@ def main():
         h.flush()
     prev_band = None
     sms = None
+    sm_fn = None
+    if args.semantic_root:
+        logger.info("building frozen semantic provider (teacher+student init)")
+        for h in logger.handlers:
+            h.flush()
+        sm_fn = build_semantic_provider(args, logger)
     # `timeout N python main.py ...` sends SIGTERM at the bound; without
     # a handler that kill drops everything since the last ckpt_every save
     # (r4: the 1400-step lambda-640 run died at step ~1235 leaving only
@@ -217,7 +304,11 @@ def main():
             logger.info("SIGTERM: saving checkpoint before exit")
             break
         frames = jnp.asarray(batch)
-        if sms is None or sms.shape[:2] != frames.shape[:2]:
+        if sm_fn is not None:
+            # real frozen-student features, recomputed per batch (the
+            # whole provider is one jitted device program)
+            sms = retry_transient("semantic_features", sm_fn, frames)
+        elif sms is None or sms.shape[:2] != frames.shape[:2]:
             # constant zeros (no semantic layer in step 1); allocate once —
             # re-uploading 20+ MB per step would dominate the step time
             sms = jnp.zeros(
@@ -260,11 +351,14 @@ def main():
             # compile is a fresh tunnel round trip — never let it kill the run
             try:
                 val_frames = jnp.asarray(next(val_iter))
-                val_sms = jnp.zeros(
-                    (val_frames.shape[0], val_frames.shape[1],
-                     args.crop // 4, args.crop // 4, 256),
-                    jnp.float32,
-                )
+                if sm_fn is not None:
+                    val_sms = sm_fn(val_frames)
+                else:
+                    val_sms = jnp.zeros(
+                        (val_frames.shape[0], val_frames.shape[1],
+                         args.crop // 4, args.crop // 4, 256),
+                        jnp.float32,
+                    )
                 val = retry_transient(
                     "validate", trainer.validate_batch, val_frames, val_sms
                 )

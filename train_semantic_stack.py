@@ -53,6 +53,10 @@ def get_args():
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--resume", action="store_true",
+                   help="continue from this run dir's latest checkpoint "
+                        "(teacher AND student restored; --steps is ABSOLUTE, "
+                        "same semantics as main.py --init-from)")
     return p.parse_args()
 
 
@@ -179,9 +183,22 @@ def main():
                              opt_state=opt_state, rng=rng), metrics
 
     ckpt = CheckpointManager(run_dir)
+    start = 0
+    if args.resume:
+        restored, rstep = ckpt.restore({"teacher": t_vars, "student": state.params})
+        if restored is not None:
+            # teacher must come from the checkpoint too: it is the frozen
+            # distillation target, and P-codecs condition on features the
+            # *saved* stack produced (optimizer moments restart — fine for
+            # a schedule extension)
+            t_vars = restored["teacher"]
+            state = state.replace(params=restored["student"],
+                                  step=jnp.asarray(rstep, jnp.int32))
+            start = rstep
+            logger.info(f"resumed from step {rstep}")
     writer = MetricsWriter(os.path.join(run_dir, "summary"))
     meter = AverageMeter()
-    rng = np.random.default_rng(args.seed)
+    rng = np.random.default_rng(args.seed + start)
 
     logger.info(
         f"start: lambda={args.lambda_rd} fea_w={fea_w} batch={B} crop={H} "
@@ -202,10 +219,10 @@ def main():
     _stop = {"now": False}
     signal.signal(signal.SIGTERM, lambda *_: _stop.__setitem__("now", True))
 
-    for n in range(1, args.steps + 1):
+    last = start
+    for n in range(start + 1, args.steps + 1):
         if _stop["now"]:
             logger.info("SIGTERM: saving checkpoint before exit")
-            _save(n - 1)
             break
         frames = jnp.asarray(
             make_clip_batch(rng, frames=f, batch=B, height=H, width=H)
@@ -225,8 +242,9 @@ def main():
                 h.flush()
         if n % args.ckpt_every == 0:
             _save(n)
-    _save(args.steps)
-    logger.info(f"done at step {args.steps}")
+        last = n
+    _save(last)
+    logger.info(f"done at step {last}")
 
 
 if __name__ == "__main__":
