@@ -150,6 +150,11 @@ class PFrameCodec(nn.Module):
     # flow base / MC fusion branch — see MESpynet / InterLayerPrediction)
     me_base_scale: int = 1
     fuse_scale: int = 1
+    # channel-AR slice shape of the MV/residual codecs (None = the
+    # ConditionalCodec defaults, 4 slices / 1 support; the reference
+    # shape is 8/4, image_model.py:114-146 — results/slice_ab.json)
+    cond_num_slices: int | None = None
+    cond_max_support_slices: int | None = None
     dtype: Dtype = jnp.float32
     packed: bool = True  # exact h2 conv lowering for the transform stacks
 
@@ -157,11 +162,17 @@ class PFrameCodec(nn.Module):
         dt = self.dtype
         nf = self.feature_channels
         pk = self.packed
+        slice_kw = {}
+        if self.cond_num_slices is not None:
+            slice_kw["num_slices"] = self.cond_num_slices
+        if self.cond_max_support_slices is not None:
+            slice_kw["max_support_slices"] = self.cond_max_support_slices
         self.optic_flow = MESpynet(base_scale=self.me_base_scale,
                                    dtype=dt, packed=pk)
-        self.mv_codec = ConditionalCodec(in_ch=8, N=self.mv_latent, out_ch=2, dtype=dt)
+        self.mv_codec = ConditionalCodec(in_ch=8, N=self.mv_latent, out_ch=2,
+                                         dtype=dt, **slice_kw)
         self.res_codec = ConditionalCodec(
-            in_ch=nf + 6, N=self.res_latent, out_ch=nf, dtype=dt
+            in_ch=nf + 6, N=self.res_latent, out_ch=nf, dtype=dt, **slice_kw
         )
         self.mc = InterLayerPrediction(fuse_scale=self.fuse_scale,
                                        dtype=dt, packed=pk)

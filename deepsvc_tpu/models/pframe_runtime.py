@@ -38,13 +38,19 @@ class PFrameRuntime:
         self.module = module
         self.variables = variables
 
+        slice_kw = {}
+        if module.cond_num_slices is not None:
+            slice_kw["num_slices"] = module.cond_num_slices
+        if module.cond_max_support_slices is not None:
+            slice_kw["max_support_slices"] = module.cond_max_support_slices
         mv_def = ConditionalCodec(in_ch=8, N=module.mv_latent, out_ch=2,
-                                  dtype=module.dtype)
+                                  dtype=module.dtype, **slice_kw)
         res_def = ConditionalCodec(
             in_ch=module.feature_channels + 6,
             N=module.res_latent,
             out_ch=module.feature_channels,
             dtype=module.dtype,
+            **slice_kw,
         )
         self.mv_rt = CodecRuntime(mv_def, {"params": variables["params"]["mv_codec"]})
         # the residual encoder never needs its own synthesis (the decoder

@@ -65,6 +65,12 @@ def get_args():
                    help="override cascade-band mc_loss weight (reference v2 "
                         "uses 0.01, Learner.py:1123; compressed schedules "
                         "need a larger pull for MC to beat plain warping)")
+    p.add_argument("--cond-num-slices", type=int, default=None,
+                   help="override the MV/residual codecs' num_slices "
+                        "(slice A/B: reference shape 8, image_model.py:114)")
+    p.add_argument("--cond-max-support-slices", type=int, default=None,
+                   help="override max_support_slices (reference 4; "
+                        "TPU-native default 1 — results/slice_ab.json)")
     p.add_argument("--semantic-root", type=str, default=None,
                    help="checkpoint root holding semantic_<lambda>/ (the "
                         "train_semantic_stack.py layout).  When set, P-frame "
@@ -189,6 +195,11 @@ def main():
     if args.fast:
         tree = fast_config(tree)
     model = build_pframe_codec(tree)
+    if args.cond_num_slices is not None or args.cond_max_support_slices is not None:
+        model = model.clone(
+            cond_num_slices=args.cond_num_slices,
+            cond_max_support_slices=args.cond_max_support_slices,
+        )
     logger.info("building trainer (jitted init compile; minutes on cold cache)")
     for h in logger.handlers:
         h.flush()

@@ -44,6 +44,12 @@ def get_args():
     p.add_argument("--ckpt-every", type=int, default=1000)
     p.add_argument("--synthetic", action="store_true")
     p.add_argument("--tiny", action="store_true")
+    p.add_argument("--num-slices", type=int, default=None,
+                   help="override ImageCodec.num_slices (slice A/B: the "
+                        "reference shape is 10, image_model.py:437)")
+    p.add_argument("--max-support-slices", type=int, default=None,
+                   help="override ImageCodec.max_support_slices (reference "
+                        "5; TPU-native default 2 — results/slice_ab.json)")
     p.add_argument("--resume", action="store_true",
                    help="continue from this run dir's own checkpoints")
     p.add_argument("--init-from", type=str, default=None,
@@ -83,6 +89,11 @@ def main():
     tree = DeepSVCConfig()
     if args.tiny:
         tree = tiny_config(tree)
+    if args.num_slices is not None:
+        tree = tree.override({"image_codec.num_slices": args.num_slices})
+    if args.max_support_slices is not None:
+        tree = tree.override(
+            {"image_codec.max_support_slices": args.max_support_slices})
     model = build_image_codec(tree)
     cfg = ImageTrainConfig(lmbda=args.lmbda, metric=args.metric,
                            lr=args.lr, seed=args.seed)
