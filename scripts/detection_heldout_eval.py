@@ -92,6 +92,7 @@ def make_annotated_clip(seed: int, n_frames: int = 3, size: int = SIZE):
 
 
 def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
+         clip_frames=5,
          out_path="results/detection_heldout_map.json"):
     from deepsvc_tpu.core.image import Normalizer
     from deepsvc_tpu.detect import SELSADetector
@@ -108,8 +109,10 @@ def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
     norm = Normalizer()
     hw = (size, size)
 
-    train_data = [make_annotated_clip(s) for s in range(train_clips)]
-    eval_data = [make_annotated_clip(500 + s) for s in range(eval_clips)]
+    train_data = [make_annotated_clip(s, n_frames=clip_frames)
+                  for s in range(train_clips)]
+    eval_data = [make_annotated_clip(500 + s, n_frames=clip_frames)
+                 for s in range(eval_clips)]
     eval_cls = sorted({int(l) for _, annos in eval_data
                        for a in annos for l in a["labels"]})
     print(f"train clips {train_clips}, eval clips {eval_clips}, "
@@ -146,6 +149,15 @@ def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
     _extract_i = jax.jit(lambda v, xn: det.apply(v, xn, method=det.extract_i))
     _refs = jax.jit(lambda v, memo: det.apply(v, memo, hw,
                                               method=det.ref_roi_feats))
+    # deterministic student decode for rolling the support/memo FIFOs
+    # during training exactly like the evaluator does (r4 post-mortem:
+    # training kept I-frame-only supp/memo while eval rolled decoded
+    # P-features through them — the SELSA attention keys and the codec
+    # conditioning were out of distribution at eval time, mAP 0.08)
+    _extract_p = jax.jit(
+        lambda v, xn, supp: det.apply(v, xn, supp, training=False,
+                                      method=det.extract_p)
+    )
 
     # decoded I-frames are fixed (frozen codec): cache them per clip
     i_recs = []
@@ -153,7 +165,8 @@ def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
         x0 = jnp.asarray(frames[0])[None]
         i_recs.append(jnp.clip(i_rt.decompress(i_rt.compress(x0))["x_hat"], 0, 1))
 
-    steps_per_visit = 4  # 2 P-frames x 2 reps per clip visit
+    n_frames = len(train_data[0][0])
+    steps_per_visit = n_frames - 1  # every P-frame once, FIFOs rolling
     s = 0
     clip_order = rng.permutation(train_clips)
     ci = 0
@@ -166,17 +179,21 @@ def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
                                  norm(i_recs[clip] * 255.0))
         supp = jnp.stack([sm0, sm0])
         memo = jnp.repeat(fmap_i, memo_len, axis=0)
-        refs = _refs(trainer.state.params, memo)
-        for rep in range(steps_per_visit):
-            t = 1 + rep % 2
+        for t in range(1, n_frames):
+            refs = _refs(trainer.state.params, memo)
+            xn = norm(jnp.asarray(frames[t])[None] * 255.0)
             m = trainer.train_frame(
-                norm(jnp.asarray(frames[t])[None] * 255.0), supp, memo, refs,
-                None,
+                xn, supp, memo, refs, None,
                 jnp.asarray(annos[t]["boxes_padded"]),
                 jnp.asarray(annos[t]["labels_padded"], jnp.int32),
                 jnp.asarray(annos[t]["valid"]),
             )
             s += 1
+            # roll the FIFOs with the decoded P features, the eval
+            # protocol (detection_eval.py:119-127)
+            p = _extract_p(trainer.state.params, xn, supp)
+            supp = jnp.concatenate([supp[1:], p["sm"][None]], axis=0)
+            memo = jnp.concatenate([memo[1:], p["fmap"]], axis=0)
         if s % 80 < steps_per_visit:
             print(f"step {s}: det={m['det']:.4f} rpn_cls={m['rpn_cls']:.4f} "
                   f"roi_cls={m['roi_cls']:.4f} roi_reg={m['roi_reg']:.4f}",
@@ -245,8 +262,9 @@ if __name__ == "__main__":
     p.add_argument("--eval-clips", type=int, default=8)
     p.add_argument("--steps", type=int, default=1600)
     p.add_argument("--i-steps", type=int, default=400)
+    p.add_argument("--clip-frames", type=int, default=5)
     p.add_argument("--out", type=str,
                    default="results/detection_heldout_map.json")
     a = p.parse_args()
     main(train_clips=a.train_clips, eval_clips=a.eval_clips, steps=a.steps,
-         i_steps=a.i_steps, out_path=a.out)
+         i_steps=a.i_steps, clip_frames=a.clip_frames, out_path=a.out)
