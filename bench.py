@@ -721,7 +721,7 @@ if __name__ == "__main__":
                         "serving throughput (per-stream latency rises)")
     p.add_argument("--space", type=int, default=0,
                    help="run the spatial-sharding CPU-mesh bench instead")
-    p.add_argument("--ckpt-root", type=str, default="output/rd_round4",
+    p.add_argument("--ckpt-root", type=str, default="output/rd_round5",
                    help="load trained P/I checkpoints from this root when "
                         "present (mse_640 + image_mse_640 layout)")
     p.add_argument("--fast", action="store_true",

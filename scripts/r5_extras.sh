@@ -1,0 +1,158 @@
+#!/bin/bash
+# Round-5 extras (VERDICT r4 items 2,3,5,6): rate points 320/160 ->
+# 3-point curve + BD-rate, semantic on/off ablation, MS-SSIM point,
+# slice-config A/B.  Run AFTER scripts/r5_critical.sh.
+# Legs are idempotent (guarded on their outputs) and commit results only
+# when the leg succeeded with valid JSON.
+set -u
+cd /root/repo
+R5=output/rd_round5
+mkdir -p $R5 results
+log() { echo "$1 $(date +%H:%M:%S)" >> $R5/campaign.log; }
+commit_json() { # commit_json <file> <msg>
+  if [ -s "$1" ] && python -c "import json;json.load(open('$1'))" 2>/dev/null; then
+    git add "$1" && git commit -q -m "$2" || true
+    log "committed $1"
+  else
+    log "SKIP commit $1 (missing/invalid)"
+  fi
+}
+
+# ---- rate-point trainings (rate-transfer fine-tunes from the 640 trio) ----
+for LAM in 320 160; do
+  if [ ! -d $R5/semantic_$LAM/2400 ]; then
+    timeout 2400 python train_semantic_stack.py --lambda-rd $LAM --synthetic \
+      --steps 2400 --log-root $R5 --ckpt-every 400 \
+      > $R5/leg_sem$LAM.log 2>&1
+    log "SEM$LAM rc=$?"
+  fi
+done
+
+ILAM_320=0.025; ILAM_160=0.013
+for LAM in 320 160; do
+  eval IL=\$ILAM_$LAM
+  if [ ! -d $R5/image_mse_$LAM/checkpoints/4000 ]; then
+    timeout 2400 python train_image.py --synthetic --lmbda $IL --batch-size 8 \
+      --crop 256 --log-root $R5 --steps 4000 --ckpt-every 500 \
+      --init-from $R5/image_mse_640 \
+      > $R5/leg_i$LAM.log 2>&1
+    log "I$LAM rc=$?"
+  fi
+done
+
+for LAM in 320 160; do
+  if [ ! -d $R5/mse_$LAM/checkpoints/3557 ]; then
+    timeout 4800 python main.py --synthetic --lambda-rd $LAM --batch-size 4 \
+      --crop 256 --log-root $R5 --run-name mse_$LAM \
+      --stage-steps 100,200,300,400,500 --mc-weight-final 0.2 \
+      --init-from $R5/mse_640 --semantic-root $R5 \
+      --steps 3557 --ckpt-every 250 --val-every 1000 \
+      > $R5/leg_p$LAM.log 2>&1
+    log "P$LAM rc=$?"
+  fi
+done
+
+# ---- 3-point curve eval (160+320; 640 comes from the critical path) ----
+timeout 2400 python test_video_tpu.py --synthetic --synthetic-size 448x832 \
+  --frames 96 --checkpoint-root $R5 --lambdas 160 320 --metric mse \
+  --output $R5/final > $R5/leg_eval2pt.log 2>&1
+log "EVAL2PT rc=$?"
+for LAM in 160 320; do
+  OUT=$R5/final/MSE/HEVC_D/HEVC_D_MSE_$LAM.json
+  if [ -s $OUT ]; then
+    cp $OUT results/rd_r5_${LAM}_final.json
+    commit_json results/rd_r5_${LAM}_final.json \
+      "r5: lambda=$LAM protocol eval (96f 448x832 GOP12, 3-layer bitstream)"
+  fi
+done
+
+# ---- no-semantic anchor curve, same weights (ablation + BD anchor) ----
+timeout 2400 python test_video_tpu.py --synthetic --synthetic-size 448x832 \
+  --frames 96 --checkpoint-root $R5 --lambdas 160 320 640 --metric mse \
+  --no-semantic --output $R5/wosm > $R5/leg_wosm.log 2>&1
+log "WOSM rc=$?"
+
+# ---- merge curves + BD-rate + ablation ----
+if [ -s $R5/final/MSE/HEVC_D/HEVC_D_MSE_640.json ] \
+   && [ -s $R5/final/MSE/HEVC_D/HEVC_D_MSE_320.json ] \
+   && [ -s $R5/final/MSE/HEVC_D/HEVC_D_MSE_160.json ]; then
+  python scripts/merge_rd.py --out results/rd_r5_curve.json \
+    $R5/final/MSE/HEVC_D/HEVC_D_MSE_160.json \
+    $R5/final/MSE/HEVC_D/HEVC_D_MSE_320.json \
+    $R5/final/MSE/HEVC_D/HEVC_D_MSE_640.json
+  commit_json results/rd_r5_curve.json \
+    "r5: 3-point RD curve (lambda 160/320/640, 96f 448x832, real bitstreams)"
+fi
+if [ -s $R5/wosm/MSE/HEVC_D/HEVC_D_MSE.json ] && [ -s results/rd_r5_curve.json ]; then
+  cp $R5/wosm/MSE/HEVC_D/HEVC_D_MSE.json results/rd_r5_wosm_curve.json
+  python scripts/bd_between.py --anchor results/rd_r5_wosm_curve.json \
+    --test results/rd_r5_curve.json --out results/bd_r5.json
+  commit_json results/rd_r5_wosm_curve.json "r5: no-semantic anchor curve (same weights)"
+  commit_json results/bd_r5.json \
+    "r5: BD-rate of the 3-layer scalable curve vs its no-semantic anchor"
+fi
+if [ -s results/rd_r5_640_final.json ] && [ -s $R5/wosm/MSE/HEVC_D/HEVC_D_MSE_640.json ]; then
+  python scripts/semantic_ablation.py --with results/rd_r5_640_final.json \
+    --without $R5/wosm/MSE/HEVC_D/HEVC_D_MSE_640.json \
+    --out results/semantic_ablation_r5.json
+  commit_json results/semantic_ablation_r5.json \
+    "r5: semantic on/off ablation at lambda=640 (same weights, VERDICT item 6)"
+fi
+
+# ---- MS-SSIM point (l/50 rule; I-codec msssim twin) ----
+if [ ! -d $R5/image_msssim_640/checkpoints/4000 ]; then
+  timeout 2400 python train_image.py --synthetic --metric msssim --lmbda 60.5 \
+    --tag 640 --batch-size 8 --crop 256 --log-root $R5 --steps 4000 \
+    --ckpt-every 500 --init-from $R5/image_mse_640 \
+    > $R5/leg_imsssim.log 2>&1
+  log "I_MSSSIM rc=$?"
+fi
+if [ ! -d $R5/msssim_640/checkpoints/3157 ]; then
+  timeout 4800 python main.py --synthetic --metric msssim --lambda-rd 640 \
+    --batch-size 4 --crop 256 --log-root $R5 --run-name msssim_640 \
+    --stage-steps 100,200,300,400,500 --mc-weight-final 0.2 \
+    --init-from $R5/mse_640 --semantic-root $R5 \
+    --steps 3157 --ckpt-every 250 --val-every 1000 \
+    > $R5/leg_pmsssim.log 2>&1
+  log "P_MSSSIM rc=$?"
+fi
+timeout 2400 python test_video_tpu.py --synthetic --synthetic-size 448x832 \
+  --frames 96 --checkpoint-root $R5 --lambdas 640 --metric msssim \
+  --output $R5/final > $R5/leg_evalmsssim.log 2>&1
+log "EVAL_MSSSIM rc=$?"
+OUT=$R5/final/MSSSIM/HEVC_D/HEVC_D_MSSSIM_640.json
+if [ -s $OUT ]; then
+  cp $OUT results/rd_r5_msssim_640.json
+  commit_json results/rd_r5_msssim_640.json \
+    "r5: MS-SSIM-trained point at lambda=640 (96f 448x832, 3-layer bitstream)"
+fi
+
+# ---- slice-config A/B (reference shapes, equal steps) ----
+if [ ! -d $R5/image_mse_refslice640/checkpoints/700 ]; then
+  timeout 2400 python train_image.py --synthetic --lmbda 0.0483 --batch-size 8 \
+    --crop 256 --log-root $R5 --steps 700 --ckpt-every 700 \
+    --num-slices 10 --max-support-slices 5 --tag refslice640 \
+    > $R5/leg_irefslice.log 2>&1
+  log "I_REFSLICE rc=$?"
+fi
+if [ ! -d $R5/mse_640_refslice/checkpoints/700 ]; then
+  timeout 4800 python main.py --synthetic --lambda-rd 640 --batch-size 4 \
+    --crop 256 --log-root $R5 --run-name mse_640_refslice \
+    --stage-steps 100,200,300,400,500 \
+    --cond-num-slices 8 --cond-max-support-slices 4 \
+    --steps 700 --ckpt-every 350 --val-every 5000 \
+    > $R5/leg_prefslice.log 2>&1
+  log "P_REFSLICE rc=$?"
+fi
+timeout 2000 python scripts/slice_ab.py \
+  --i-a output/rd_round4/image_mse_640 --i-b $R5/image_mse_refslice640 \
+  --p-a output/rd_round4/mse_640 --p-b $R5/mse_640_refslice \
+  --out results/slice_ab.json > $R5/leg_sliceab.log 2>&1
+log "SLICE_AB rc=$?"
+commit_json results/slice_ab.json \
+  "r5: slice-config A/B — TPU-native (10/2, 4/1) vs reference (10/5, 8/4) at equal steps"
+
+# ---- snapshot the r5 trio for rebuild survival ----
+SNAP_ROOT=$R5 bash scripts/snapshot_artifacts.sh mse_640 image_mse_640 semantic_640
+git add artifacts && git commit -q -m "r5: checkpoint snapshots (rebuild survival)" || true
+log "SNAPSHOT done"

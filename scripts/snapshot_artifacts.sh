@@ -5,15 +5,17 @@
 # trained checkpoint.  bench.py auto-restores these tarballs when the live
 # dirs are absent (_restore_artifact_snapshots), so the driver's
 # end-of-round bench still measures trained weights.
-# Usage: snapshot_artifacts.sh <run-dir-name>...   (relative to output/rd_round4)
+# Usage: snapshot_artifacts.sh <run-dir-name>...
+#   SNAP_ROOT=output/rd_round5 (default) selects the round dir.
 set -e
 cd /root/repo
+ROOT="${SNAP_ROOT:-output/rd_round5}"
 mkdir -p artifacts
 for name in "$@"; do
-  if [ -d "output/rd_round4/$name" ]; then
-    tar czf "artifacts/$name.tar.gz" -C output/rd_round4 "$name"
+  if [ -d "$ROOT/$name" ]; then
+    tar czf "artifacts/$name.tar.gz" -C "$ROOT" "$name"
     du -h "artifacts/$name.tar.gz"
   else
-    echo "skip $name (no such run dir)" >&2
+    echo "skip $name (no such run dir under $ROOT)" >&2
   fi
 done
