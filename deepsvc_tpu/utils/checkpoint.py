@@ -66,7 +66,19 @@ class CheckpointManager:
         step = step if step is not None else self._mgr.latest_step()
         if step is None:
             return None, None
-        restored = self._mgr.restore(step, args=ocp.args.StandardRestore(state_template))
+        # Restore against a HOST (numpy) template, then upload the tree in
+        # ONE dispatch-ordered device_put and block.  Handing orbax a
+        # device-array template makes its restore pool issue hundreds of
+        # concurrent device puts; over the axon tunnel those puts
+        # intermittently deadlock (r5: two --init-from runs hung between
+        # "initialized from" and the first device pull, kernel stacks all
+        # in futex_wait while the tunnel sat idle).
+        host_template = _to_host(state_template)
+        restored = self._mgr.restore(
+            step, args=ocp.args.StandardRestore(host_template)
+        )
+        restored = jax.device_put(restored)
+        jax.block_until_ready(restored)
         return restored, step
 
     def latest_step(self):
