@@ -183,6 +183,14 @@ def main():
     run_dir = os.path.join(args.log_root, run_name)
     os.makedirs(run_dir, exist_ok=True)
     logger = setup_logger("train", run_dir, tofile=True)
+    # tunnel-wedge watchdog, armed through init/restore/compile too: a
+    # stalled phase with frozen process CPU means the axon client
+    # deadlocked (three r5 runs froze in futex_wait — twice right after
+    # restore, once mid-training); exit 17 so the campaign wrapper reruns
+    # with --resume (utils/watchdog.py; compiles are safe: they burn CPU)
+    from deepsvc_tpu.utils.watchdog import Heartbeat
+
+    wd = Heartbeat(stale_after=240.0, probe_grace=120.0, logger=logger)
     with open(os.path.join(run_dir, "setting.json"), "w") as f:
         json.dump({**vars(args), "config": cfg.to_dict()}, f, indent=2, default=str)
 
@@ -337,6 +345,7 @@ def main():
         t_step = time.perf_counter()
         metrics = retry_transient("train_batch", trainer.train_batch, frames, sms)
         meter.update(float(metrics["loss"]))
+        wd.beat()
         step = int(trainer.state.step)
         step_s = time.perf_counter() - t_step
         if prev_step < 10 or crossed(100, prev_step, step):
@@ -356,6 +365,7 @@ def main():
             # checkpoint (Learner.py:155-156 role); saved BEFORE validation so
             # a validation failure can never lose training progress
             ckpt.save(step, trainer.state, force=True)
+            wd.beat()
         if crossed(args.val_every, prev_step, step):
             # held-out validation + best-loss checkpointing (Learner.py:491-493);
             # non-fatal: validation uses a separate compiled graph whose first

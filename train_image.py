@@ -83,6 +83,9 @@ def main():
     run_dir = os.path.join(args.log_root, f"image_{args.metric}_{tag}")
     os.makedirs(run_dir, exist_ok=True)
     logger = setup_logger(f"train_image_{tag}", run_dir, tofile=True)
+    from deepsvc_tpu.utils.watchdog import Heartbeat
+
+    wd = Heartbeat(stale_after=240.0, probe_grace=120.0, logger=logger)
     with open(os.path.join(run_dir, "setting.json"), "w") as f:
         json.dump(vars(args), f, indent=2, default=str)
 
@@ -151,6 +154,7 @@ def main():
         t0 = time.perf_counter()
         metrics = trainer.train_batch(jnp.asarray(batch))
         step = int(trainer.state.step)
+        wd.beat()
         dt = time.perf_counter() - t0
         meter.update(metrics["loss"])
         if step <= 10 or step % 100 == 0:

@@ -81,6 +81,9 @@ def main():
     run_dir = os.path.join(args.log_root, f"semantic_{args.lambda_rd}")
     os.makedirs(run_dir, exist_ok=True)
     logger = setup_logger(f"semstack_{args.lambda_rd}", run_dir, tofile=True)
+    from deepsvc_tpu.utils.watchdog import Heartbeat
+
+    wd = Heartbeat(stale_after=240.0, probe_grace=120.0, logger=logger)
     with open(os.path.join(run_dir, "setting.json"), "w") as f:
         json.dump({**vars(args), "fea_weight": fea_w}, f, indent=2, default=str)
 
@@ -232,6 +235,7 @@ def main():
             logger, "train_step", train_step, state, frames
         )
         meter.update(float(metrics["loss"]))
+        wd.beat()
         dt = time.perf_counter() - t0
         if n <= 5 or n % 50 == 0:
             m_host = {k: float(v) for k, v in metrics.items()}
