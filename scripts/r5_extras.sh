@@ -17,14 +17,30 @@ commit_json() { # commit_json <file> <msg>
     log "SKIP commit $1 (missing/invalid)"
   fi
 }
+# rerun wedged (rc=17, watchdog) or timed-out (rc=124) trainer legs; the
+# rerun command must carry --resume semantics itself where applicable
+retry_leg() {
+  local name=$1 tries=$2; shift 2
+  local n=0 rc=0
+  while [ $n -lt $tries ]; do
+    n=$((n + 1))
+    "$@" >> $R5/leg_$name.log 2>&1
+    rc=$?
+    log "$name try=$n rc=$rc"
+    [ $rc -eq 17 ] || [ $rc -eq 124 ] || break
+    sleep 45
+  done
+  return $rc
+}
 
 # ---- rate-point trainings (rate-transfer fine-tunes from the 640 trio) ----
 for LAM in 320 160; do
   if [ ! -d $R5/semantic_$LAM/2400 ]; then
-    timeout 2400 python train_semantic_stack.py --lambda-rd $LAM --synthetic \
-      --steps 2400 --log-root $R5 --ckpt-every 400 \
-      > $R5/leg_sem$LAM.log 2>&1
-    log "SEM$LAM rc=$?"
+    retry_leg sem$LAM 2 timeout 2400 python train_semantic_stack.py \
+      --lambda-rd $LAM --synthetic --steps 2400 --log-root $R5 --ckpt-every 400
+    [ -d $R5/semantic_$LAM/2400 ] || retry_leg sem${LAM}r 4 timeout 2400 \
+      python train_semantic_stack.py --lambda-rd $LAM --synthetic \
+      --steps 2400 --log-root $R5 --ckpt-every 400 --resume
   fi
 done
 
@@ -32,23 +48,29 @@ ILAM_320=0.025; ILAM_160=0.013
 for LAM in 320 160; do
   eval IL=\$ILAM_$LAM
   if [ ! -d $R5/image_mse_$LAM/checkpoints/4000 ]; then
-    timeout 2400 python train_image.py --synthetic --lmbda $IL --batch-size 8 \
-      --crop 256 --log-root $R5 --steps 4000 --ckpt-every 500 \
-      --init-from $R5/image_mse_640 \
-      > $R5/leg_i$LAM.log 2>&1
-    log "I$LAM rc=$?"
+    retry_leg i$LAM 2 timeout 2400 python train_image.py --synthetic \
+      --lmbda $IL --batch-size 8 --crop 256 --log-root $R5 --steps 4000 \
+      --ckpt-every 500 --init-from $R5/image_mse_640
+    [ -d $R5/image_mse_$LAM/checkpoints/4000 ] || retry_leg i${LAM}r 4 \
+      timeout 2400 python train_image.py --synthetic --lmbda $IL \
+      --batch-size 8 --crop 256 --log-root $R5 --steps 4000 \
+      --ckpt-every 500 --resume
   fi
 done
 
 for LAM in 320 160; do
   if [ ! -d $R5/mse_$LAM/checkpoints/3557 ]; then
-    timeout 4800 python main.py --synthetic --lambda-rd $LAM --batch-size 4 \
-      --crop 256 --log-root $R5 --run-name mse_$LAM \
+    retry_leg p$LAM 2 timeout 4800 python main.py --synthetic --lambda-rd $LAM \
+      --batch-size 4 --crop 256 --log-root $R5 --run-name mse_$LAM \
       --stage-steps 100,200,300,400,500 --mc-weight-final 0.2 \
       --init-from $R5/mse_640 --semantic-root $R5 \
-      --steps 3557 --ckpt-every 250 --val-every 1000 \
-      > $R5/leg_p$LAM.log 2>&1
-    log "P$LAM rc=$?"
+      --steps 3557 --ckpt-every 250 --val-every 1000
+    [ -d $R5/mse_$LAM/checkpoints/3557 ] || retry_leg p${LAM}r 5 timeout 4800 \
+      python main.py --synthetic --lambda-rd $LAM \
+      --batch-size 4 --crop 256 --log-root $R5 --run-name mse_$LAM \
+      --stage-steps 100,200,300,400,500 --mc-weight-final 0.2 \
+      --resume --semantic-root $R5 \
+      --steps 3557 --ckpt-every 250 --val-every 1000
   fi
 done
 
@@ -101,20 +123,26 @@ fi
 
 # ---- MS-SSIM point (l/50 rule; I-codec msssim twin) ----
 if [ ! -d $R5/image_msssim_640/checkpoints/4000 ]; then
-  timeout 2400 python train_image.py --synthetic --metric msssim --lmbda 60.5 \
-    --tag 640 --batch-size 8 --crop 256 --log-root $R5 --steps 4000 \
-    --ckpt-every 500 --init-from $R5/image_mse_640 \
-    > $R5/leg_imsssim.log 2>&1
-  log "I_MSSSIM rc=$?"
+  retry_leg imsssim 2 timeout 2400 python train_image.py --synthetic \
+    --metric msssim --lmbda 60.5 --tag 640 --batch-size 8 --crop 256 \
+    --log-root $R5 --steps 4000 --ckpt-every 500 --init-from $R5/image_mse_640
+  [ -d $R5/image_msssim_640/checkpoints/4000 ] || retry_leg imsssimr 4 \
+    timeout 2400 python train_image.py --synthetic --metric msssim \
+    --lmbda 60.5 --tag 640 --batch-size 8 --crop 256 \
+    --log-root $R5 --steps 4000 --ckpt-every 500 --resume
 fi
 if [ ! -d $R5/msssim_640/checkpoints/3157 ]; then
-  timeout 4800 python main.py --synthetic --metric msssim --lambda-rd 640 \
-    --batch-size 4 --crop 256 --log-root $R5 --run-name msssim_640 \
-    --stage-steps 100,200,300,400,500 --mc-weight-final 0.2 \
-    --init-from $R5/mse_640 --semantic-root $R5 \
-    --steps 3157 --ckpt-every 250 --val-every 1000 \
-    > $R5/leg_pmsssim.log 2>&1
-  log "P_MSSSIM rc=$?"
+  retry_leg pmsssim 2 timeout 4800 python main.py --synthetic --metric msssim \
+    --lambda-rd 640 --batch-size 4 --crop 256 --log-root $R5 \
+    --run-name msssim_640 --stage-steps 100,200,300,400,500 \
+    --mc-weight-final 0.2 --init-from $R5/mse_640 --semantic-root $R5 \
+    --steps 3157 --ckpt-every 250 --val-every 1000
+  [ -d $R5/msssim_640/checkpoints/3157 ] || retry_leg pmsssimr 5 \
+    timeout 4800 python main.py --synthetic --metric msssim \
+    --lambda-rd 640 --batch-size 4 --crop 256 --log-root $R5 \
+    --run-name msssim_640 --stage-steps 100,200,300,400,500 \
+    --mc-weight-final 0.2 --resume --semantic-root $R5 \
+    --steps 3157 --ckpt-every 250 --val-every 1000
 fi
 timeout 2400 python test_video_tpu.py --synthetic --synthetic-size 448x832 \
   --frames 96 --checkpoint-root $R5 --lambdas 640 --metric msssim \
@@ -129,20 +157,17 @@ fi
 
 # ---- slice-config A/B (reference shapes, equal steps) ----
 if [ ! -d $R5/image_mse_refslice640/checkpoints/700 ]; then
-  timeout 2400 python train_image.py --synthetic --lmbda 0.0483 --batch-size 8 \
-    --crop 256 --log-root $R5 --steps 700 --ckpt-every 700 \
-    --num-slices 10 --max-support-slices 5 --tag refslice640 \
-    > $R5/leg_irefslice.log 2>&1
-  log "I_REFSLICE rc=$?"
+  retry_leg irefslice 3 timeout 2400 python train_image.py --synthetic \
+    --lmbda 0.0483 --batch-size 8 --crop 256 --log-root $R5 --steps 700 \
+    --ckpt-every 350 --num-slices 10 --max-support-slices 5 --tag refslice640
 fi
 if [ ! -d $R5/mse_640_refslice/checkpoints/700 ]; then
-  timeout 4800 python main.py --synthetic --lambda-rd 640 --batch-size 4 \
+  retry_leg prefslice 3 timeout 4800 python main.py --synthetic \
+    --lambda-rd 640 --batch-size 4 \
     --crop 256 --log-root $R5 --run-name mse_640_refslice \
     --stage-steps 100,200,300,400,500 \
     --cond-num-slices 8 --cond-max-support-slices 4 \
-    --steps 700 --ckpt-every 350 --val-every 5000 \
-    > $R5/leg_prefslice.log 2>&1
-  log "P_REFSLICE rc=$?"
+    --steps 700 --ckpt-every 350 --val-every 5000
 fi
 timeout 2000 python scripts/slice_ab.py \
   --i-a output/rd_round4/image_mse_640 --i-b $R5/image_mse_refslice640 \
