@@ -190,7 +190,10 @@ def main():
     # with --resume (utils/watchdog.py; compiles are safe: they burn CPU)
     from deepsvc_tpu.utils.watchdog import Heartbeat
 
-    wd = Heartbeat(stale_after=240.0, probe_grace=120.0, logger=logger)
+    # init/restore legitimately spend minutes in low-CPU device waits
+    # (jitted init + ~200 MB host-template pull through the tunnel), so
+    # start loose; the train loop tightens to 240 s at the first step
+    wd = Heartbeat(stale_after=900.0, probe_grace=180.0, logger=logger)
     with open(os.path.join(run_dir, "setting.json"), "w") as f:
         json.dump({**vars(args), "config": cfg.to_dict()}, f, indent=2, default=str)
 
@@ -346,6 +349,7 @@ def main():
         metrics = retry_transient("train_batch", trainer.train_batch, frames, sms)
         meter.update(float(metrics["loss"]))
         wd.beat()
+        wd.stale_after = 240.0  # steady state: steps are seconds apart
         step = int(trainer.state.step)
         step_s = time.perf_counter() - t_step
         if prev_step < 10 or crossed(100, prev_step, step):

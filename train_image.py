@@ -85,7 +85,7 @@ def main():
     logger = setup_logger(f"train_image_{tag}", run_dir, tofile=True)
     from deepsvc_tpu.utils.watchdog import Heartbeat
 
-    wd = Heartbeat(stale_after=240.0, probe_grace=120.0, logger=logger)
+    wd = Heartbeat(stale_after=900.0, probe_grace=180.0, logger=logger)
     with open(os.path.join(run_dir, "setting.json"), "w") as f:
         json.dump(vars(args), f, indent=2, default=str)
 
@@ -155,6 +155,7 @@ def main():
         metrics = trainer.train_batch(jnp.asarray(batch))
         step = int(trainer.state.step)
         wd.beat()
+        wd.stale_after = 240.0
         dt = time.perf_counter() - t0
         meter.update(metrics["loss"])
         if step <= 10 or step % 100 == 0:

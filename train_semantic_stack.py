@@ -83,7 +83,7 @@ def main():
     logger = setup_logger(f"semstack_{args.lambda_rd}", run_dir, tofile=True)
     from deepsvc_tpu.utils.watchdog import Heartbeat
 
-    wd = Heartbeat(stale_after=240.0, probe_grace=120.0, logger=logger)
+    wd = Heartbeat(stale_after=900.0, probe_grace=180.0, logger=logger)
     with open(os.path.join(run_dir, "setting.json"), "w") as f:
         json.dump({**vars(args), "fea_weight": fea_w}, f, indent=2, default=str)
 
@@ -236,6 +236,7 @@ def main():
         )
         meter.update(float(metrics["loss"]))
         wd.beat()
+        wd.stale_after = 240.0
         dt = time.perf_counter() - t0
         if n <= 5 or n % 50 == 0:
             m_host = {k: float(v) for k, v in metrics.items()}
