@@ -169,9 +169,18 @@ if [ ! -d $R5/mse_640_refslice/checkpoints/700 ]; then
     --cond-num-slices 8 --cond-max-support-slices 4 \
     --steps 700 --ckpt-every 350 --val-every 5000
 fi
+# A-side = pristine 700-step copies preserved before the critical path
+# extended those runs (equal steps vs the 700-step refslice B-sides).
+# After a rebuild the copies are gone; fall back to the artifact tarballs
+# (slice_ab.py records the restored step, so the JSON stays honest).
+if [ ! -d output/slice_ab_a/mse_640 ]; then
+  mkdir -p output/slice_ab_a
+  tar xzf artifacts/mse_640.tar.gz -C output/slice_ab_a || true
+  tar xzf artifacts/image_mse_640.tar.gz -C output/slice_ab_a || true
+fi
 timeout 2000 python scripts/slice_ab.py \
-  --i-a output/rd_round4/image_mse_640 --i-b $R5/image_mse_refslice640 \
-  --p-a output/rd_round4/mse_640 --p-b $R5/mse_640_refslice \
+  --i-a output/slice_ab_a/image_mse_640 --i-b $R5/image_mse_refslice640 \
+  --p-a output/slice_ab_a/mse_640 --p-b $R5/mse_640_refslice \
   --out results/slice_ab.json > $R5/leg_sliceab.log 2>&1
 log "SLICE_AB rc=$?"
 commit_json results/slice_ab.json \
