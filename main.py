@@ -221,6 +221,7 @@ def main():
         if restored is not None:
             trainer.state = restored
             logger.info(f"resumed from step {step}")
+        wd.beat()
     elif args.init_from:
         src = CheckpointManager(os.path.join(args.init_from, "checkpoints"))
         restored, step = src.restore(trainer.state)
@@ -228,6 +229,7 @@ def main():
             raise SystemExit(f"--init-from {args.init_from}: no checkpoint found")
         trainer.state = restored
         logger.info(f"initialized from {args.init_from} step {step}")
+        wd.beat()
 
     meter = AverageMeter()
     writer = MetricsWriter(os.path.join(run_dir, "summary"))
@@ -312,6 +314,17 @@ def main():
         for h in logger.handlers:
             h.flush()
         sm_fn = build_semantic_provider(args, logger)
+        wd.beat()
+    # The first train_batch pays the band's full XLA compile.  On axon the
+    # backend compile runs on the REMOTE host: the local process sleeps at
+    # ~0 CPU, so the watchdog's CPU-progress defense cannot tell it from a
+    # wedge (r5: a healthy band-5 cold compile was killed at stale 1087s,
+    # and every retry re-paid — and re-lost — the same compile).  Phase
+    # beats above cover init/restore; widen the window for the one
+    # unavoidable silent phase, the first-step compile; the loop tightens
+    # to 240 s as soon as that step completes.
+    wd.beat()
+    wd.stale_after = 2700.0
     # `timeout N python main.py ...` sends SIGTERM at the bound; without
     # a handler that kill drops everything since the last ckpt_every save
     # (r4: the 1400-step lambda-640 run died at step ~1235 leaving only

@@ -115,6 +115,12 @@ def main():
             raise SystemExit(f"--init-from {args.init_from}: no checkpoint found")
         trainer.state = restored
         logger.info(f"initialized from {args.init_from} step {step0}")
+    # the first train_batch pays the full XLA compile, which on axon runs
+    # on the REMOTE host (local process idle — indistinguishable from a
+    # wedge; see main.py).  Beat after restore and widen the window for
+    # the first-step compile; the loop tightens to 240 s after it.
+    wd.beat()
+    wd.stale_after = 2700.0
     writer = MetricsWriter(os.path.join(run_dir, "summary"))
     meter = AverageMeter()
     rng = np.random.default_rng(args.seed)

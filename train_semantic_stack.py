@@ -199,6 +199,12 @@ def main():
                                   step=jnp.asarray(rstep, jnp.int32))
             start = rstep
             logger.info(f"resumed from step {rstep}")
+    # first train_step pays the full XLA compile, which on axon runs on
+    # the REMOTE host (local process idle — indistinguishable from a
+    # wedge; see main.py).  Beat after init/restore and widen the window
+    # for the first-step compile; the loop tightens to 240 s after it.
+    wd.beat()
+    wd.stale_after = 2700.0
     writer = MetricsWriter(os.path.join(run_dir, "summary"))
     meter = AverageMeter()
     rng = np.random.default_rng(args.seed + start)
