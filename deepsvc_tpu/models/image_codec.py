@@ -490,9 +490,10 @@ class ConditionalCodec(ChannelARBase):
     latency per round was 0.21 s/frame of pure stall at 1080p (r3
     bench).  The TPU-native default is 4 wider slices / 1 support slice
     = 2 host rounds: slice 0 conditions everything, the 3 tail slices
-    decode in one batched round (r4 perf redesign, VERDICT r3 item 3;
-    RD cost vs the reference slice shape measured in
-    results/slice_ab.json — see tests/test_slice_ab note)."""
+    decode in one batched round (r4 perf redesign, VERDICT r3 item 3).
+    The RD cost vs the reference slice shape is measured by
+    scripts/slice_ab.py (equal lambda, equal steps, held-out data);
+    committed artifact: results/slice_ab.json."""
 
     in_ch: int = 8
     N: int = 64
