@@ -92,7 +92,7 @@ def make_annotated_clip(seed: int, n_frames: int = 3, size: int = SIZE):
 
 
 def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
-         clip_frames=5,
+         clip_frames=5, proposals=16,
          out_path="results/detection_heldout_map.json"):
     from deepsvc_tpu.core.image import Normalizer
     from deepsvc_tpu.detect import SELSADetector
@@ -105,7 +105,7 @@ def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
 
     size, memo_len = SIZE, 3
     det = SELSADetector(num_classes=5, sem_N=16, neck_channels=64, depth=26,
-                        proposals_per_frame=16)
+                        proposals_per_frame=proposals)
     norm = Normalizer()
     hw = (size, size)
 
@@ -122,7 +122,7 @@ def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
     f0 = jnp.asarray(train_data[0][0][0])[None]
     supp0 = jnp.zeros((2, 1, size // 4, size // 4, 256))
     memo0 = jnp.zeros((memo_len, size // 16, size // 16, 64))
-    ref0 = jnp.zeros((memo_len * 16, 7, 7, 64))
+    ref0 = jnp.zeros((memo_len * proposals, 7, 7, 64))
     gt0 = jnp.asarray(train_data[0][1][1]["boxes_padded"])
     gl0 = jnp.asarray(train_data[0][1][1]["labels_padded"], jnp.int32)
     gv0 = jnp.asarray(train_data[0][1][1]["valid"])
@@ -263,8 +263,10 @@ if __name__ == "__main__":
     p.add_argument("--steps", type=int, default=1600)
     p.add_argument("--i-steps", type=int, default=400)
     p.add_argument("--clip-frames", type=int, default=5)
+    p.add_argument("--proposals", type=int, default=16)
     p.add_argument("--out", type=str,
                    default="results/detection_heldout_map.json")
     a = p.parse_args()
     main(train_clips=a.train_clips, eval_clips=a.eval_clips, steps=a.steps,
-         i_steps=a.i_steps, clip_frames=a.clip_frames, out_path=a.out)
+         i_steps=a.i_steps, clip_frames=a.clip_frames, proposals=a.proposals,
+         out_path=a.out)
