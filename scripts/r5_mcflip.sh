@@ -77,9 +77,15 @@ if [ ! -d output/slice_ab_a/mse_640 ]; then
   tar xzf artifacts/mse_640.tar.gz -C output/slice_ab_a || true
   tar xzf artifacts/image_mse_640.tar.gz -C output/slice_ab_a || true
 fi
+# only include the P-codec pair at equal steps; a half-trained refslice
+# side would make the A/B unfair (slice_ab.py restores the latest step)
+P_ARGS=""
+if [ -d $R5/mse_640_refslice/checkpoints/700 ]; then
+  P_ARGS="--p-a output/slice_ab_a/mse_640 --p-b $R5/mse_640_refslice"
+fi
 timeout 2000 python scripts/slice_ab.py \
   --i-a output/slice_ab_a/image_mse_640 --i-b $R5/image_mse_refslice640 \
-  --p-a output/slice_ab_a/mse_640 --p-b $R5/mse_640_refslice \
+  $P_ARGS \
   --out results/slice_ab.json > $R5/leg_sliceab.log 2>&1
 log "SLICE_AB rc=$?"
 commit_json results/slice_ab.json \
