@@ -435,11 +435,16 @@ class ImageCodec(ChannelARBase):
 
     Slice shape: the reference uses 10 slices / 5 support
     (image_model.py:437-438), paying 6 serial host round trips per
-    decode.  Decode latency scales with max_support_slices (tail slices
-    batch into one round), while RD conditioning saturates after the
-    first couple of support slices — so the TPU-native default keeps the
-    10-slice channel-AR structure but freezes support after 2 slices:
-    3 host rounds instead of 6 (r4 perf redesign, VERDICT r3 item 3)."""
+    decode.  The TPU-native default keeps the 10-slice channel-AR
+    structure but freezes support after 2 slices: 3 host rounds instead
+    of 6 (r4 perf redesign, VERDICT r3 item 3).  The r5 A/B
+    (results/slice_ab.json: equal lambda/steps/data) measured a real RD
+    cost for this cut — +24.6% bpp for +0.14 dB at 700 steps — and the
+    I-codec only decodes once per GOP, so its latency saving is small
+    amortized; a future round should revert this default to 10/5 (a
+    config revert changes the cc_* conditioning weight shapes, so it
+    must come with fresh checkpoints — the committed r5 artifacts are
+    10/2)."""
 
     N: int = 192
     M: int = 320
