@@ -93,9 +93,11 @@ class ImageCodecConfig(Config):
     N: int = 192
     M: int = 320
     num_slices: int = 10
-    # 2 support slices = 3 decode host rounds (vs the reference's 5/6);
-    # see models/image_codec.ImageCodec docstring (r4 perf redesign)
-    max_support_slices: int = 2
+    # Reference shape (image_model.py:437-438).  The r4 perf cut to 2
+    # support slices measured +24.6% bpp for +0.14 dB at equal steps
+    # (results/slice_ab.json), and the I-codec only decodes once per
+    # GOP, so the latency saving does not pay — reverted in r6.
+    max_support_slices: int = 5
 
 
 @dataclass

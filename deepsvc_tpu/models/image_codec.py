@@ -433,23 +433,20 @@ class ChannelARBase(nn.Module):
 class ImageCodec(ChannelARBase):
     """I-frame codec — reference "ICIP2020ResB" (image_model.py:331-438).
 
-    Slice shape: the reference uses 10 slices / 5 support
+    Slice shape: the reference's 10 slices / 5 support
     (image_model.py:437-438), paying 6 serial host round trips per
-    decode.  The TPU-native default keeps the 10-slice channel-AR
-    structure but freezes support after 2 slices: 3 host rounds instead
-    of 6 (r4 perf redesign, VERDICT r3 item 3).  The r5 A/B
-    (results/slice_ab.json: equal lambda/steps/data) measured a real RD
-    cost for this cut — +24.6% bpp for +0.14 dB at 700 steps — and the
-    I-codec only decodes once per GOP, so its latency saving is small
-    amortized; a future round should revert this default to 10/5 (a
-    config revert changes the cc_* conditioning weight shapes, so it
-    must come with fresh checkpoints — the committed r5 artifacts are
-    10/2)."""
+    decode.  The r4 perf redesign had cut support to 2 slices (3 host
+    rounds); the r5 A/B (results/slice_ab.json: equal lambda/steps/data)
+    measured +24.6% bpp for +0.14 dB for that cut, and the I-codec only
+    decodes once per GOP so the latency saving is small amortized —
+    reverted to the reference shape in r6.  The revert changes the cc_*
+    conditioning weight shapes, so r6 checkpoints are fresh; the 10/2
+    profile remains reachable via ImageCodecConfig overrides."""
 
     N: int = 192
     M: int = 320
     num_slices: int = 10
-    max_support_slices: int = 2
+    max_support_slices: int = 5
     dtype: Dtype = jnp.float32
     packed: bool = True  # transform convs via the exact h2/s2 lowering
 
@@ -488,23 +485,23 @@ class ConditionalCodec(ChannelARBase):
     (image_model.py:41-328).  in 8ch/N=64/out 2 for MV; in 70ch/N=96/out
     64 for residual (video_model.py:17-18).
 
-    Slice shape: the reference uses 8 slices / 4 support
+    Slice shape: the reference's 8 slices / 4 support
     (image_model.py:114-146) = 5 serial host rounds per latent decode.
     A live P-frame decode pays that once per frame (MV and residual
     chains interleave into shared pulls), which at ~35-40 ms of relay
     latency per round was 0.21 s/frame of pure stall at 1080p (r3
-    bench).  The TPU-native default is 4 wider slices / 1 support slice
-    = 2 host rounds: slice 0 conditions everything, the 3 tail slices
-    decode in one batched round (r4 perf redesign, VERDICT r3 item 3).
-    The RD cost vs the reference slice shape is measured by
-    scripts/slice_ab.py (equal lambda, equal steps, held-out data);
-    committed artifact: results/slice_ab.json."""
+    bench); the r4 perf redesign therefore ran 4 wider slices / 1
+    support (2 host rounds).  After the I-codec A/B showed the same
+    style of cut costs +24.6% bpp (results/slice_ab.json), r6 reverted
+    the default to the reference shape; the owed P-codec pair
+    measurement (4/1 vs 8/4 at equal steps, scripts/slice_ab.py) decides
+    whether the 4/1 serving profile keeps a supported override path."""
 
     in_ch: int = 8
     N: int = 64
     out_ch: int = 2
-    num_slices: int = 4
-    max_support_slices: int = 1
+    num_slices: int = 8
+    max_support_slices: int = 4
     dtype: Dtype = jnp.float32
     packed: bool = True  # transform convs via the exact h2/s2 lowering
 

@@ -358,6 +358,14 @@ def main():
             for h in logger.handlers:
                 h.flush()
             prev_band = band
+            # A band switch is a NEW jitted program (different unroll /
+            # loss), so its first iteration re-pays a full remote compile
+            # — the same silent ~0-CPU phase as startup (r5 observed
+            # >1000 s for the band-5 cascade).  Widen the window for
+            # exactly that step; steady state tightens it back to 240 s
+            # right after train_batch.  (ADVICE r5 #1)
+            wd.beat()
+            wd.stale_after = 2700.0
         t_step = time.perf_counter()
         metrics = retry_transient("train_batch", trainer.train_batch, frames, sms)
         meter.update(float(metrics["loss"]))
@@ -397,9 +405,16 @@ def main():
                          args.crop // 4, args.crop // 4, 256),
                         jnp.float32,
                     )
+                # validate_batch is its own jitted program: its first
+                # call (per band) is another silent remote compile —
+                # cover it like the band-transition step (ADVICE r5 #1)
+                wd.beat()
+                wd.stale_after = 2700.0
                 val = retry_transient(
                     "validate", trainer.validate_batch, val_frames, val_sms
                 )
+                wd.beat()
+                wd.stale_after = 240.0
                 writer.add_scalars(val, step, prefix="val_")
                 logger.info(f"validate @{step}: {val}")
                 if val["loss"] < best_val_loss:

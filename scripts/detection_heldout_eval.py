@@ -221,13 +221,14 @@ def main(train_clips=32, eval_clips=8, steps=1600, i_steps=400,
     rng2 = np.random.default_rng(99)
     from deepsvc_tpu.eval.detection_eval import DetectionResult
 
+    # matched to the evaluated detector's box budget (ADVICE r5 #4)
     chance = [
         DetectionResult(
             frame_index=i,
-            boxes=np.sort(rng2.uniform(0, size, (16, 4)).astype(np.float32))
-            .reshape(16, 4),
-            scores=rng2.random(16).astype(np.float32),
-            labels=rng2.integers(0, det.num_classes, 16),
+            boxes=np.sort(rng2.uniform(0, size, (proposals, 4))
+                          .astype(np.float32)).reshape(proposals, 4),
+            scores=rng2.random(proposals).astype(np.float32),
+            labels=rng2.integers(0, det.num_classes, proposals),
             is_iframe=False, bpp=0.0,
         )
         for i in range(len(all_annos))

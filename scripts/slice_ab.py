@@ -40,6 +40,11 @@ def get_args():
     p.add_argument("--frames", type=int, default=16)
     p.add_argument("--size", type=str, default="256x448")
     p.add_argument("--seed", type=int, default=7)
+    p.add_argument("--i-step", type=int, default=None,
+                   help="restore BOTH I-codec sides at this exact step "
+                        "(default: each side's latest)")
+    p.add_argument("--p-step", type=int, default=None,
+                   help="restore BOTH P-codec sides at this exact step")
     p.add_argument("--out", type=str, default="results/slice_ab.json")
     return p.parse_args()
 
@@ -60,7 +65,7 @@ def _psnr(a, b):
     return float(10.0 * jnp.log10(1.0 / jnp.maximum(mse, 1e-12)))
 
 
-def eval_image(run_dir, num_slices, max_support, frames):
+def eval_image(run_dir, num_slices, max_support, frames, step=None):
     """Deterministic (rounded) likelihood bpp + decoded PSNR, held-out."""
     import jax.numpy as jnp
 
@@ -80,7 +85,7 @@ def eval_image(run_dir, num_slices, max_support, frames):
     tx = make_optimizer(variables)
     template = TrainState.create(variables, tx, jax.random.PRNGKey(0))
     ckpt_dir = os.path.join(run_dir, "checkpoints")
-    restored, step = CheckpointManager(ckpt_dir).restore(template)
+    restored, step = CheckpointManager(ckpt_dir).restore(template, step=step)
     if restored is None:
         raise SystemExit(f"no checkpoint under {ckpt_dir}")
     params = restored.params
@@ -104,7 +109,7 @@ def eval_image(run_dir, num_slices, max_support, frames):
     }
 
 
-def eval_pframe(run_dir, num_slices, max_support, clips):
+def eval_pframe(run_dir, num_slices, max_support, clips, step=None):
     """2-frame clip eval (ref = original frame 0, zeros semantic feature —
     matching the r4 mse_640 training configuration both variants share)."""
     import jax.numpy as jnp
@@ -122,7 +127,7 @@ def eval_pframe(run_dir, num_slices, max_support, clips):
     tx = make_optimizer(variables)
     template = TrainState.create(variables, tx, jax.random.PRNGKey(0))
     ckpt_dir = os.path.join(run_dir, "checkpoints")
-    restored, step = CheckpointManager(ckpt_dir).restore(template)
+    restored, step = CheckpointManager(ckpt_dir).restore(template, step=step)
     if restored is None:
         raise SystemExit(f"no checkpoint under {ckpt_dir}")
     params = restored.params
@@ -174,17 +179,28 @@ def main():
         "seed": args.seed, "resolution": args.size, "frames": args.frames,
         "quantization": "deterministic round (training=False) likelihoods",
     }}
+    def _equal_steps(a, b, what):
+        # an A/B at unequal training steps is not the experiment this
+        # script's committed message claims — refuse (ADVICE r5 #2)
+        if a["step"] != b["step"]:
+            raise SystemExit(
+                f"{what}: restored steps differ (A={a['step']} B={b['step']}); "
+                f"pass --{what[0]}-step to pin both sides"
+            )
+
     if args.i_a and args.i_b:
-        a = eval_image(args.i_a, 10, 2, frames)
-        b = eval_image(args.i_b, 10, 5, frames)
+        a = eval_image(args.i_a, 10, 2, frames, step=args.i_step)
+        b = eval_image(args.i_b, 10, 5, frames, step=args.i_step)
+        _equal_steps(a, b, "image")
         out["image"] = {
             "tpu_native": a, "reference_shape": b,
             "bpp_penalty_pct": (a["bpp"] / b["bpp"] - 1.0) * 100.0,
             "psnr_delta_db": a["psnr"] - b["psnr"],
         }
     if args.p_a and args.p_b:
-        a = eval_pframe(args.p_a, None, None, pclips)  # defaults 4/1
-        b = eval_pframe(args.p_b, 8, 4, pclips)
+        a = eval_pframe(args.p_a, 4, 1, pclips, step=args.p_step)
+        b = eval_pframe(args.p_b, 8, 4, pclips, step=args.p_step)
+        _equal_steps(a, b, "pframe")
         out["pframe"] = {
             "tpu_native": a, "reference_shape": b,
             "bpp_penalty_pct": (a["bpp"] / b["bpp"] - 1.0) * 100.0,
