@@ -216,13 +216,19 @@ def main():
         h.flush()
     trainer = PFrameTrainer(cfg, model=model, init_shape=(args.crop, args.crop))
     ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    resumed = False
     if args.resume:
         restored, step = ckpt.restore(trainer.state)
         if restored is not None:
             trainer.state = restored
+            resumed = True
             logger.info(f"resumed from step {step}")
         wd.beat()
-    elif args.init_from:
+    if not resumed and args.init_from:
+        # --resume with no own checkpoint falls through here, so a
+        # wedged first attempt of a fine-tune leg retried with --resume
+        # still seeds from --init-from instead of silently starting
+        # from scratch (ADVICE r5 #1's retry-leg failure mode)
         src = CheckpointManager(os.path.join(args.init_from, "checkpoints"))
         restored, step = src.restore(trainer.state)
         if restored is None:

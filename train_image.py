@@ -103,12 +103,16 @@ def main():
     trainer = ImageCodecTrainer(cfg, model=model,
                                 init_shape=(args.crop, args.crop))
     ckpt = CheckpointManager(os.path.join(run_dir, "checkpoints"))
+    resumed = False
     if args.resume:
         restored, step0 = ckpt.restore(trainer.state)
         if restored is not None:
             trainer.state = restored
+            resumed = True
             logger.info(f"resumed from step {step0}")
-    elif args.init_from:
+    if not resumed and args.init_from:
+        # --resume with no own checkpoint falls back to --init-from so a
+        # retried fine-tune leg never silently restarts from scratch
         src = CheckpointManager(os.path.join(args.init_from, "checkpoints"))
         restored, step0 = src.restore(trainer.state)
         if restored is None:

@@ -57,6 +57,11 @@ def get_args():
                    help="continue from this run dir's latest checkpoint "
                         "(teacher AND student restored; --steps is ABSOLUTE, "
                         "same semantics as main.py --init-from)")
+    p.add_argument("--init-from", type=str, default=None,
+                   help="semantic_<lambda> run dir whose checkpoint seeds "
+                        "this run (rate-transfer fine-tune: teacher AND "
+                        "student carry over, the new lambda's fea weight "
+                        "applies; step carries over so --steps is ABSOLUTE)")
     return p.parse_args()
 
 
@@ -187,9 +192,11 @@ def main():
 
     ckpt = CheckpointManager(run_dir)
     start = 0
+    resumed = False
     if args.resume:
         restored, rstep = ckpt.restore({"teacher": t_vars, "student": state.params})
         if restored is not None:
+            resumed = True
             # teacher must come from the checkpoint too: it is the frozen
             # distillation target, and P-codecs condition on features the
             # *saved* stack produced (optimizer moments restart — fine for
@@ -199,6 +206,18 @@ def main():
                                   step=jnp.asarray(rstep, jnp.int32))
             start = rstep
             logger.info(f"resumed from step {rstep}")
+    if not resumed and args.init_from:
+        # --resume with no own checkpoint falls back to --init-from so a
+        # retried fine-tune leg never silently restarts from scratch
+        src = CheckpointManager(args.init_from)
+        restored, rstep = src.restore({"teacher": t_vars, "student": state.params})
+        if restored is None:
+            raise SystemExit(f"--init-from {args.init_from}: no checkpoint found")
+        t_vars = restored["teacher"]
+        state = state.replace(params=restored["student"],
+                              step=jnp.asarray(rstep, jnp.int32))
+        start = rstep
+        logger.info(f"initialized from {args.init_from} step {rstep}")
     # first train_step pays the full XLA compile, which on axon runs on
     # the REMOTE host (local process idle — indistinguishable from a
     # wedge; see main.py).  Beat after init/restore and widen the window
