@@ -179,9 +179,12 @@ def main_tpu(args):
     del h0, h1
 
     # ---- serial protocol loop (per-frame latency; r2-comparable) ----
+    # >=8 samples so the dispersion fields below mean something: shared-
+    # box relay noise made cross-round deltas near +-15% unresolvable
+    # on 4-frame runs (VERDICT r5 weak #8 / item 9)
     ref_f, feat_f = dec0["recon"], dec0["feature"]
     serial_times, enc_dev, enc_rans, dec_rounds = [], [], [], []
-    for t in range(min(args.frames, 4)):
+    for t in range(min(args.frames, 8)):
         curr = frames[2 + (t % (len(frames) - 2))]
         t0 = time.perf_counter()
         mv_bs, res_bs = rt.compress(ref_f, curr, sm, feat_f)
@@ -203,6 +206,10 @@ def main_tpu(args):
     # wall-clock throughput systematically favors serial; headline
     # serial-vs-pipelined comparisons must use this one.
     fps_serial_wall = len(serial_times) * B / float(sum(serial_times))
+    # dispersion: cross-round perf claims are gated on non-overlapping
+    # spreads, so the spread ships with the number (VERDICT r5 item 9)
+    serial_p50_s = float(np.percentile(serial_times, 50))
+    serial_p90_s = float(np.percentile(serial_times, 90))
     stalls = [r[0] for r in dec_rounds]  # idx-pull blocking time per round
     rans = [r[1] for r in dec_rounds]
 
@@ -400,17 +407,22 @@ def main_tpu(args):
         return fps, [float(e) for e in errs_dev]
 
     # First success wins: running a second schedule on top of a completed
-    # one doubles the live-handle footprint and OOMed the chip (measured);
-    # ordered by measured speed (gop_pipeline amortizes the relay pulls
-    # over the GOP; decode_thread only moves them off the dispatch loop).
+    # one doubles the live-handle footprint and OOMed the chip (measured).
+    # gop_pipeline and decode_thread lost to the serial protocol in BOTH
+    # r4 and r5 driver captures (gop_pipeline 0.70/0.42 vs serial
+    # 1.08/0.96) while first-success-wins meant lookahead never even got
+    # measured — so the dead modes no longer run by default (VERDICT r5
+    # weak #2); they remain reachable via --schedule for A/B sweeps.
     candidates = [
-        ("gop_pipeline", _run_pipelined_gop),
-        ("decode_thread", _run_pipelined_threaded),
         ("lookahead", lambda: _run_pipelined(True)),
         ("no_lookahead", lambda: _run_pipelined(False)),
     ]
-    if args.schedule:  # force one schedule (A/B sweeps)
-        candidates = [c for c in candidates if c[0] == args.schedule]
+    if args.schedule:  # force one schedule (A/B sweeps; incl. retired modes)
+        all_scheds = dict(candidates + [
+            ("gop_pipeline", _run_pipelined_gop),
+            ("decode_thread", _run_pipelined_threaded),
+        ])
+        candidates = [(args.schedule, all_scheds[args.schedule])]
     fps_pipe, errs, pipelined_mode, attempts = 0.0, None, "none", {}
     for name, fn in candidates:
         try:
@@ -590,6 +602,9 @@ def main_tpu(args):
         "baseline_ref_cpu_fps": ref_cpu,
         "vs_gpu_class_anchor": round(fps_pipe / GPU_CLASS_ANCHOR_FPS, 4),
         "fps_serial": round(fps_serial, 4),
+        "serial_n": len(serial_times),
+        "serial_p50_s": round(serial_p50_s, 4),
+        "serial_p90_s": round(serial_p90_s, 4),
         "fps_transforms_only": round(fps_transforms, 4),
         "pipelined_mode": pipelined_mode,
         "pipelined_attempts_fps": attempts,
@@ -721,7 +736,7 @@ if __name__ == "__main__":
                         "serving throughput (per-stream latency rises)")
     p.add_argument("--space", type=int, default=0,
                    help="run the spatial-sharding CPU-mesh bench instead")
-    p.add_argument("--ckpt-root", type=str, default="output/rd_round5",
+    p.add_argument("--ckpt-root", type=str, default="output/rd_round6",
                    help="load trained P/I checkpoints from this root when "
                         "present (mse_640 + image_mse_640 layout)")
     p.add_argument("--fast", action="store_true",
