@@ -249,6 +249,58 @@ fi
 SNAP_ROOT=$R6 bash scripts/snapshot_artifacts.sh msssim_640 image_msssim_640 2>/dev/null || true
 git add artifacts && git commit -q -m "r6: MS-SSIM checkpoint snapshots" || true
 
+# ---- 6.5 fast serving profile: validate or drop (VERDICT item 6) ----
+FAST=output/rd_round6_fast
+mkdir -p $FAST
+[ -e $FAST/image_mse_640 ] || cp -r $R6/image_mse_640 $FAST/image_mse_640
+[ -e $FAST/semantic_640 ] || cp -r $R6/semantic_640 $FAST/semantic_640
+if [ ! -d $FAST/mse_640/checkpoints/2800 ]; then
+  train_leg pfast 3 3600 timeout 3600 python main.py --synthetic \
+    --lambda-rd 640 --batch-size 4 --crop 256 --log-root $FAST \
+    --run-name mse_640 --fast --stage-steps 100,200,300,400,500 \
+    --mc-weight-final 0.35 --init-from $R6/mse_640 --semantic-root $R6 \
+    --steps 2800 --ckpt-every 200 --val-every 5000
+fi
+if [ ! -s $FAST/final/MSE/HEVC_D/HEVC_D_MSE_640.json ]; then
+  timeout 2400 python test_video_tpu.py --synthetic --synthetic-size 448x832 \
+    --frames 96 --checkpoint-root $FAST --lambdas 640 --metric mse --fast \
+    --output $FAST/final >> $R6/leg_evalfast.log 2>&1
+  log "EVAL_FAST rc=$?"
+fi
+OUT=$FAST/final/MSE/HEVC_D/HEVC_D_MSE_640.json
+if [ -s $OUT ] && [ -s results/rd_r6_640_final.json ]; then
+  python - "$OUT" <<'EOF'
+import json, sys
+fast = json.load(open(sys.argv[1]))
+ref = json.load(open("results/rd_r6_640_final.json"))
+m = lambda d, k: sum(d["results"][k]) / len(d["results"][k])
+out = {
+    "fast": {k: m(fast, k) for k in ("psnr", "bpp", "ppsnr", "pbpp")},
+    "reference_shaped": {k: m(ref, k) for k in ("psnr", "bpp", "ppsnr", "pbpp")},
+    "delta": {
+        "psnr_db": m(fast, "psnr") - m(ref, "psnr"),
+        "bpp": m(fast, "bpp") - m(ref, "bpp"),
+    },
+    "conditions": {"fast": fast.get("conditions"), "ref": ref.get("conditions")},
+}
+json.dump(out, open("results/rd_fast_vs_ref.json", "w"), indent=2)
+print(json.dumps(out["delta"]))
+EOF
+  commit_json results/rd_fast_vs_ref.json \
+    "r6: fast serving profile RD validation vs reference-shaped (same protocol eval, r6 checkpoints)"
+  timeout 1500 python bench.py --fast --ckpt-root $FAST \
+    > results/bench_r6_fast.json 2> $R6/leg_benchfast.err \
+    && commit_json results/bench_r6_fast.json "r6: fast-profile bench (trained fast checkpoint)"
+fi
+
+# ---- 6.6 refresh the headline bench on the r6 checkpoints (also warms
+# /tmp/jax_cache for the driver's end-of-round run) ----
+timeout 3000 python bench.py > results/bench_r6.json 2> $R6/leg_bench.err
+rc=$?
+log "BENCH rc=$rc"
+[ $rc -eq 0 ] && commit_json results/bench_r6.json \
+  "r6: 1080p bench on reference-slice-shape checkpoints (p50/p90 dispersion, lookahead-first schedules)"
+
 # ---- 7. lambda=80 fourth rate point (VERDICT item 10; stretch) ----
 if [ ! -d $R6/image_mse_80/checkpoints/4000 ]; then
   train_leg i80 2 2400 timeout 2400 python train_image.py --synthetic \
